@@ -1,0 +1,102 @@
+"""Format/preprocessing tests: plan construction vs scipy dense oracle.
+
+Mirrors the verification role of the reference's preprocessing path
+(bmat_kernels.cuh:264-320) — here checked exactly by dense
+reconstruction, on CPU, no accelerator needed.
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from voltrix_spmm_tpu.format import (
+    PlanConfig,
+    csr_preprocess,
+    plan_stats,
+    plan_to_dense,
+)
+
+
+def random_csr(rng, n, density):
+    a = sp.random(n, n, density=density, format="csr", random_state=rng)
+    a.data[:] = 1.0
+    return a
+
+
+@pytest.mark.parametrize("n,density", [(64, 0.2), (500, 0.05), (1000, 0.01)])
+@pytest.mark.parametrize(
+    "block_h,block_w", [(128, 128), (32, 128), (64, 256), (16, 8)]
+)
+def test_plan_reconstructs_dense(rng, n, density, block_h, block_w):
+    a = random_csr(rng, n, density)
+    cfg = PlanConfig(block_h=block_h, block_w=block_w)
+    plan = csr_preprocess(a.indptr, a.indices, n, cfg, backend="numpy")
+    dense = plan_to_dense(plan)
+    np.testing.assert_array_equal(dense, (a.toarray() != 0).astype(np.uint8))
+
+
+def test_block_ptr_consistency(rng):
+    n = 300
+    a = random_csr(rng, n, 0.03)
+    cfg = PlanConfig(block_h=32, block_w=128)
+    plan = csr_preprocess(a.indptr, a.indices, n, cfg, backend="numpy")
+    bp = np.asarray(plan.block_ptr)
+    assert bp[0] == 0
+    assert bp[-1] == plan.total_blocks
+    assert (np.diff(bp) >= 0).all()
+    # window_of_block matches the ragged expansion of block_ptr
+    wob = np.asarray(plan.window_of_block)
+    expect = np.repeat(np.arange(plan.num_windows), np.diff(bp))
+    np.testing.assert_array_equal(wob, expect)
+
+
+def test_dedup_and_compression(rng):
+    # A window whose rows share neighbors: unique columns are compressed so
+    # the per-window block count follows uniques, not nnz (the "balanced"
+    # property, reference bmat_kernels.cuh:298-299).
+    n = 64
+    rows = np.repeat(np.arange(32), 4)
+    cols = np.tile(np.array([1, 5, 9, 13]), 32)  # all rows hit same 4 cols
+    a = sp.csr_matrix((np.ones(len(rows)), (rows, cols)), shape=(n, n))
+    cfg = PlanConfig(block_h=32, block_w=128)
+    plan = csr_preprocess(a.indptr, a.indices, n, cfg, backend="numpy")
+    # 2 windows; window 0 has only 4 unique cols -> 1 block; window 1 empty
+    assert plan.total_blocks == 1
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(plan.hind)[0, :4]), [1, 5, 9, 13]
+    )
+    dense = plan_to_dense(plan)
+    np.testing.assert_array_equal(dense, (a.toarray() != 0).astype(np.uint8))
+
+
+def test_empty_matrix():
+    n = 100
+    indptr = np.zeros(n + 1, dtype=np.int32)
+    indices = np.zeros(0, dtype=np.int32)
+    plan = csr_preprocess(indptr, indices, n, backend="numpy")
+    assert plan.total_blocks == 0
+    assert plan.num_edges == 0
+    assert plan_to_dense(plan).sum() == 0
+
+
+def test_duplicate_edges_are_binarized(rng):
+    # CSR with duplicate (r, c) entries must still produce a 0/1 matrix
+    indices = np.array([3, 3, 7, 7, 7], dtype=np.int32)
+    indptr = np.array([0, 5, 5, 5, 5, 5, 5, 5, 5], dtype=np.int32)
+    n = 8
+    cfg = PlanConfig(block_h=32, block_w=128)
+    plan = csr_preprocess(indptr, indices, n, cfg, backend="numpy")
+    dense = plan_to_dense(plan)
+    assert plan.num_edges == 2
+    assert dense[0, 3] == 1 and dense[0, 7] == 1
+    assert dense.sum() == 2
+
+
+def test_stats(rng):
+    n = 256
+    a = random_csr(rng, n, 0.05)
+    plan = csr_preprocess(a.indptr, a.indices, n, backend="numpy")
+    s = plan_stats(plan)
+    assert s["nnz"] == plan.num_edges
+    assert 0 < s["fill_ratio"] <= 1.0
+    assert s["gather_expansion"] >= plan.config.block_w / max(plan.num_edges, 1)

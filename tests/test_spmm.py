@@ -1,0 +1,89 @@
+"""End-to-end SpMM accuracy tests vs the scipy oracle.
+
+Config parity with the reference integration test (tests/test_spmm.py:
+seeded `sp.random` CSR, random normal features, `calc_diff` "difference
+rate" metric vs the cuSPARSE oracle — scipy here), scaled to
+CPU/interpret-mode runtime.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from voltrix_spmm_tpu import calc_diff, csr_preprocess, spmm
+from voltrix_spmm_tpu.format import PlanConfig
+from voltrix_spmm_tpu.ops import spmm_pallas, spmm_reference, spmm_scipy
+
+
+def make_problem(rng, n, density, d):
+    a = sp.random(n, n, density=density, format="csr", random_state=rng)
+    a.data[:] = 1.0
+    feat = rng.standard_normal((n, d)).astype(np.float32)
+    oracle = spmm_scipy(a.indptr, a.indices, n, feat).astype(np.float32)
+    return a, feat, oracle
+
+
+@pytest.mark.parametrize("n,density,d", [(512, 0.05, 64), (1000, 0.01, 100)])
+def test_spmm_reference_matches_scipy(rng, n, density, d):
+    a, feat, oracle = make_problem(rng, n, density, d)
+    plan = csr_preprocess(a.indptr, a.indices, n)
+    out = np.asarray(spmm_reference(plan, jnp.asarray(feat)))
+    assert calc_diff(out, oracle) < 1e-6
+    np.testing.assert_allclose(out, oracle, rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "n,density,d,cfg",
+    [
+        (512, 0.05, 64, PlanConfig(128, 128)),
+        (300, 0.02, 130, PlanConfig(32, 128)),  # unaligned N and D
+        (1000, 0.01, 256, PlanConfig(128, 256)),
+    ],
+)
+def test_spmm_pallas_matches_scipy(rng, n, density, d, cfg):
+    a, feat, oracle = make_problem(rng, n, density, d)
+    plan = csr_preprocess(a.indptr, a.indices, n, cfg)
+    out = np.asarray(spmm_pallas(plan, jnp.asarray(feat)))
+    assert out.shape == oracle.shape
+    assert calc_diff(out, oracle) < 1e-6
+    np.testing.assert_allclose(out, oracle, rtol=1e-5, atol=1e-4)
+
+
+def test_spmm_pallas_bf16_close(rng):
+    n, d = 512, 128
+    a, feat, oracle = make_problem(rng, n, 0.05, d)
+    plan = csr_preprocess(a.indptr, a.indices, n)
+    out = np.asarray(
+        spmm_pallas(plan, jnp.asarray(feat), compute_dtype=jnp.bfloat16)
+    )
+    # bf16 MXU path target: relative error <= 1e-2 (BASELINE.md)
+    rel = np.linalg.norm(out - oracle) / np.linalg.norm(oracle)
+    assert rel < 1e-2
+
+
+def test_spmm_public_api_impls_agree(rng):
+    n, d = 256, 64
+    a, feat, oracle = make_problem(rng, n, 0.05, d)
+    plan = csr_preprocess(a.indptr, a.indices, n)
+    out_p = np.asarray(spmm(plan, jnp.asarray(feat), impl="pallas"))
+    out_r = np.asarray(spmm(plan, jnp.asarray(feat), impl="reference"))
+    np.testing.assert_allclose(out_p, out_r, rtol=1e-5, atol=1e-4)
+
+
+def test_spmm_empty(rng):
+    n, d = 64, 32
+    indptr = np.zeros(n + 1, dtype=np.int32)
+    plan = csr_preprocess(indptr, np.zeros(0, np.int32), n)
+    feat = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    out = spmm(plan, feat)
+    assert out.shape == (n, d)
+    assert np.asarray(out).sum() == 0
+
+def test_spmm_multichunk_feature_dim(rng):
+    # feature dim larger than one chunk exercises the (chunk, block) grid
+    n, d = 256, 512
+    a, feat, oracle = make_problem(rng, n, 0.03, d)
+    plan = csr_preprocess(a.indptr, a.indices, n)
+    out = np.asarray(spmm_pallas(plan, jnp.asarray(feat), block_d=128))
+    np.testing.assert_allclose(out, oracle, rtol=1e-5, atol=1e-4)

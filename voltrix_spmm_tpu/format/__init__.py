@@ -1,0 +1,11 @@
+from .plan import SpmmPlan, PlanConfig
+from .preprocess import csr_preprocess, plan_to_dense, expand_bitmask_np, plan_stats
+
+__all__ = [
+    "SpmmPlan",
+    "PlanConfig",
+    "csr_preprocess",
+    "plan_to_dense",
+    "expand_bitmask_np",
+    "plan_stats",
+]

@@ -1,0 +1,110 @@
+"""The binned block-CSR plan — the TPU-native sparse format.
+
+This is the TPU redesign of the reference's preprocessed format
+(reference: voltrix/spmm/spmm.py:16-89 returns `(pointer1, hspa_packed,
+hind)` built from 16x8 tensor-core tiles). On TPU the natural tile is
+MXU-sized, so the format is parameterized by a row-window height
+``block_h`` (default 128 = MXU rows) and a column-block width ``block_w``
+(default 128 = MXU contraction dim):
+
+- Rows of A are grouped into windows of ``block_h`` consecutive rows.
+- Within a window, the set of *distinct* neighbor column ids is sorted and
+  compressed (the "balanced" packing, reference bmat_kernels.cuh:264-320);
+  every ``block_w`` of them form one block.
+- Per block we store:
+  * ``hind[b, j]``   — source row of X feeding compressed column j
+                       (reference `hind`, bmat_kernels.cuh:93-108), and
+  * ``bitmask[b, w, j]`` — a row-packed presence bitmask: bit ``s`` of word
+    ``w`` at lane ``j`` set iff A[window_row (w*32+s), hind[b, j]] == 1.
+    This is the lane-layout redesign of the reference's MMA-swizzled pack
+    (bmat_kernels.cuh:151-193): words are packed along *rows* (sublanes)
+    so the Pallas kernel expands bits with a single broadcasted
+    shift/AND over an (8,128)-tiled vreg, no gather.
+
+``block_ptr`` is the exclusive block prefix sum per window (reference
+`Pointer1`), and ``window_of_block`` flattens the ragged windows so a
+Pallas grid can walk blocks with static shapes.
+
+The plan is a JAX pytree: array leaves travel to the device, metadata is
+static, so ``jax.jit(spmm)`` accepts a plan directly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+import jax
+import numpy as np
+
+
+@dataclass(frozen=True)
+class PlanConfig:
+    """Tile geometry for the block-CSR plan.
+
+    block_h: rows of A per window (MXU output rows). Multiple of 8.
+    block_w: compressed columns per block (MXU contraction). Multiple of 128
+             for the device kernel; the format itself accepts any value.
+    """
+
+    block_h: int = 128
+    block_w: int = 128
+
+    def __post_init__(self):
+        assert self.block_h > 0 and self.block_w > 0
+
+    @property
+    def words_per_col(self) -> int:
+        """uint32 words needed to pack block_h row-bits."""
+        return -(-self.block_h // 32)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class SpmmPlan:
+    # --- array leaves (device-movable) ---
+    bitmask: object  # uint32 (total_blocks, words_per_col, block_w)
+    hind: object  # int32  (total_blocks, block_w) gathered source rows
+    window_of_block: object  # int32 (total_blocks,)
+    block_ptr: object  # int32 (num_windows + 1,)  exclusive block prefix
+    # --- static metadata ---
+    config: PlanConfig
+    num_nodes: int
+    num_edges: int  # deduplicated nnz actually represented
+    num_windows: int
+    total_blocks: int
+
+    def tree_flatten(self):
+        children = (self.bitmask, self.hind, self.window_of_block, self.block_ptr)
+        aux = (
+            self.config,
+            self.num_nodes,
+            self.num_edges,
+            self.num_windows,
+            self.total_blocks,
+        )
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    # number of padded rows the kernel computes before slicing back to N
+    @property
+    def padded_nodes(self) -> int:
+        return self.num_windows * self.config.block_h
+
+    @property
+    def gather_rows(self) -> int:
+        """Total X rows gathered per full pass (the 'Exp_Edges' analogue)."""
+        return self.total_blocks * self.config.block_w
+
+    def device(self) -> "SpmmPlan":
+        """Move array leaves to the default JAX device."""
+        return dataclasses.replace(
+            self,
+            bitmask=jax.device_put(np.asarray(self.bitmask)),
+            hind=jax.device_put(np.asarray(self.hind)),
+            window_of_block=jax.device_put(np.asarray(self.window_of_block)),
+            block_ptr=jax.device_put(np.asarray(self.block_ptr)),
+        )

@@ -1,0 +1,206 @@
+"""CSR -> binned block-CSR preprocessing (vectorized numpy path).
+
+TPU-native rebuild of the reference's 3-stage preprocessing pipeline
+(reference: voltrix/spmm/spmm.py:16-89):
+  1. window sort + dedup + compress   (voltrix::preprocess,
+     bmat_kernels.cuh:264-320, CPU/OpenMP)
+  2. tile materialization (hspa/hind) (hmat_cuda_kernel,
+     bmat_kernels.cuh:21-111, GPU)
+  3. bitmask pack + swizzle           (hmat_convert_uint32_swizzle,
+     bmat_kernels.cuh:151-193, GPU)
+
+Here all three collapse into one fully-vectorized numpy pass (sort/unique/
+scatter) producing the `SpmmPlan`; a C++/OpenMP native backend with the
+same contract lives in `voltrix_spmm_tpu/runtime` (built by the JIT layer)
+and is parity-tested against this implementation.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..project import const
+from .plan import PlanConfig, SpmmPlan
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def csr_preprocess(
+    indptr,
+    indices,
+    num_nodes: int,
+    config: PlanConfig = PlanConfig(),
+    backend: str = "auto",
+) -> SpmmPlan:
+    """Build an `SpmmPlan` from CSR adjacency (binary values implied).
+
+    Parity with the reference public entry point
+    (voltrix/spmm/spmm.py:16: ``csr_preprocess(indptr, indices,
+    num_nodes) -> (pointer1, hspa_packed, hind)``) — the returned plan
+    carries the same three payloads as ``block_ptr``/``bitmask``/``hind``
+    plus the flattened window map the TPU kernel needs.
+
+    backend: "numpy", "native" (C++/OpenMP), or "auto" (native when the
+    runtime library is available, else numpy).
+    """
+    indptr = np.asarray(indptr, dtype=np.int64)
+    indices = np.asarray(indices, dtype=np.int64)
+    assert indptr.ndim == 1 and indptr.shape[0] == num_nodes + 1
+    assert indices.ndim == 1
+
+    if backend == "auto":
+        if os.environ.get(const.DISABLE_NATIVE_FLAG, "0") == "1":
+            backend = "numpy"
+        else:
+            from ..runtime import native_available
+
+            backend = "native" if native_available() else "numpy"
+
+    if backend == "native":
+        from ..runtime import native_preprocess
+
+        return native_preprocess(indptr, indices, num_nodes, config)
+    assert backend == "numpy", f"unknown backend {backend!r}"
+    return _numpy_preprocess(indptr, indices, num_nodes, config)
+
+
+def _numpy_preprocess(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    num_nodes: int,
+    config: PlanConfig,
+) -> SpmmPlan:
+    W, K = config.block_h, config.block_w
+    words = config.words_per_col
+    num_windows = max(_cdiv(num_nodes, W), 1)
+
+    deg = np.diff(indptr)
+    rows = np.repeat(np.arange(num_nodes, dtype=np.int64), deg)
+    cols = indices.astype(np.int64)
+
+    # Deduplicate (row, col) pairs so every bit is set exactly once
+    # (the reference dedups per-window columns at bmat_kernels.cuh:248-262;
+    # duplicate *edges* would corrupt its hspa the same way they would our
+    # bitmask, so canonicalize here).
+    edge_key = rows * num_nodes + cols
+    edge_key = np.unique(edge_key)
+    rows = edge_key // num_nodes
+    cols = edge_key % num_nodes
+    nnz = int(rows.shape[0])
+
+    if nnz == 0:
+        return SpmmPlan(
+            bitmask=np.zeros((0, words, K), np.uint32),
+            hind=np.zeros((0, K), np.int32),
+            window_of_block=np.zeros((0,), np.int32),
+            block_ptr=np.zeros((num_windows + 1,), np.int32),
+            config=config,
+            num_nodes=num_nodes,
+            num_edges=0,
+            num_windows=num_windows,
+            total_blocks=0,
+        )
+
+    win = rows // W
+    # Sorted-unique (window, col): this single call is the window-local
+    # sort + dedup + compressed-column numbering of the reference
+    # (bmat_kernels.cuh:290-307 edgeToColumn construction).
+    wc = win * num_nodes + cols
+    uniq_wc, edge_to_unique = np.unique(wc, return_inverse=True)
+    uniq_win = uniq_wc // num_nodes
+    uniq_col = (uniq_wc % num_nodes).astype(np.int64)
+
+    # blocks per window = ceil(#unique / K)  (reference blockPartition,
+    # bmat_kernels.cuh:298-299); block_ptr = exclusive prefix (Pointer1,
+    # bmat_kernels.cuh:312-319).
+    win_unique = np.bincount(uniq_win, minlength=num_windows)
+    blocks_per_window = -(-win_unique // K)
+    block_ptr = np.zeros(num_windows + 1, dtype=np.int64)
+    np.cumsum(blocks_per_window, out=block_ptr[1:])
+    total_blocks = int(block_ptr[-1])
+
+    win_unique_start = np.zeros(num_windows + 1, dtype=np.int64)
+    np.cumsum(win_unique, out=win_unique_start[1:])
+    # Position of each unique col inside its window's compressed numbering.
+    upos = np.arange(uniq_wc.shape[0], dtype=np.int64) - win_unique_start[uniq_win]
+    ublock = block_ptr[uniq_win] + upos // K
+    ulane = upos % K
+
+    # hind: source-row gather map, zero-padded lanes carry no bits
+    # (reference hind zero-init at bmat_kernels.cuh:71-74).
+    hind = np.zeros((total_blocks, K), dtype=np.int32)
+    hind[ublock, ulane] = uniq_col.astype(np.int32)
+
+    # Row-packed bitmask: each edge lights exactly one distinct bit, so a
+    # scatter-add of (1 << shift) is an exact bitwise OR.
+    r_local = (rows % W).astype(np.int64)
+    e_block = ublock[edge_to_unique]
+    e_lane = ulane[edge_to_unique]
+    bitmask = np.zeros((total_blocks, words, K), dtype=np.uint32)
+    np.add.at(
+        bitmask,
+        (e_block, r_local // 32, e_lane),
+        (np.uint32(1) << (r_local % 32).astype(np.uint32)),
+    )
+
+    window_of_block = np.repeat(
+        np.arange(num_windows, dtype=np.int32), blocks_per_window
+    )
+
+    return SpmmPlan(
+        bitmask=bitmask,
+        hind=hind,
+        window_of_block=window_of_block,
+        block_ptr=block_ptr.astype(np.int32),
+        config=config,
+        num_nodes=num_nodes,
+        num_edges=nnz,
+        num_windows=num_windows,
+        total_blocks=total_blocks,
+    )
+
+
+def expand_bitmask_np(bitmask: np.ndarray, block_h: int) -> np.ndarray:
+    """Expand a row-packed bitmask (B, words, K) -> dense 0/1 (B, block_h, K)."""
+    bitmask = np.asarray(bitmask, dtype=np.uint32)
+    nblocks, words, K = bitmask.shape
+    shifts = np.arange(32, dtype=np.uint32)
+    bits = (bitmask[:, :, None, :] >> shifts[None, None, :, None]) & np.uint32(1)
+    return bits.reshape(nblocks, words * 32, K)[:, :block_h].astype(np.uint8)
+
+
+def plan_to_dense(plan: SpmmPlan) -> np.ndarray:
+    """Reconstruct the dense adjacency from a plan (test oracle)."""
+    W = plan.config.block_h
+    dense = np.zeros((plan.num_nodes, plan.num_nodes), dtype=np.uint8)
+    if plan.total_blocks == 0:
+        return dense
+    bits = expand_bitmask_np(np.asarray(plan.bitmask), W)  # (B, W, K)
+    hind = np.asarray(plan.hind)
+    wob = np.asarray(plan.window_of_block)
+    b_idx, r_idx, l_idx = np.nonzero(bits)
+    global_rows = wob[b_idx] * W + r_idx
+    global_cols = hind[b_idx, l_idx]
+    keep = global_rows < plan.num_nodes
+    dense[global_rows[keep], global_cols[keep]] = 1
+    return dense
+
+
+def plan_stats(plan: SpmmPlan) -> dict:
+    """Packing statistics (the reference prints TC_Blocks / Exp_Edges,
+    bmat_kernels.cuh:309-310)."""
+    slots = plan.total_blocks * plan.config.block_h * plan.config.block_w
+    return {
+        "num_nodes": plan.num_nodes,
+        "nnz": plan.num_edges,
+        "num_windows": plan.num_windows,
+        "total_blocks": plan.total_blocks,
+        "gather_rows": plan.gather_rows,
+        "expanded_slots": slots,
+        "fill_ratio": plan.num_edges / slots if slots else 0.0,
+        "gather_expansion": plan.gather_rows / max(plan.num_edges, 1),
+    }

@@ -1,0 +1,165 @@
+"""Pallas TPU SpMM kernels.
+
+TPU-native redesign of the reference's warp-specialized Hopper kernels
+(spmm_kernels.cuh:1458-1727 `spmm_mma161616_spa_swizzle_d` and friends):
+
+- The 16x8 tensor-core tile becomes an MXU-sized (block_h x block_w)
+  masked matmul: bitmask-expand (VPU) -> dot (MXU) per block.
+- The persistent-CTA wave over (row windows x feature chunks)
+  (DynamicWaveScheduler, spmm_kernels.cuh:498-540) becomes a Pallas grid
+  (feature_chunks, flat_blocks) with `dimension_semantics=("parallel",
+  "arbitrary")` — XLA owns persistence/scheduling.
+- The TMA + mbarrier producer/consumer double buffering
+  (spmm_kernels.cuh:1128-1194) becomes the Pallas pipeline's automatic
+  double-buffered HBM->VMEM streaming of the gathered X tiles; a fused
+  in-kernel DMA-gather variant is a separate entry (see
+  `spmm_pallas_fused`).
+- Variable blocks-per-window (blockPartition/Pointer1) is handled by the
+  flat block walk + *output revisiting*: consecutive grid steps whose
+  prefetched `window_of_block` is unchanged accumulate into the same
+  VMEM output tile; Pallas flushes the tile when the index map advances.
+
+Variant "pregather" (this file's default, the analogue of reference
+model 0): the irregular row gather of X is executed by XLA's native
+dynamic-gather (`jnp.take`) which saturates HBM on TPU, and the kernel
+streams the now-contiguous gathered tiles.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..format.plan import SpmmPlan
+from ..project import const
+from .bitmask import expand_bitmask
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _round_up(a: int, b: int) -> int:
+    return _cdiv(a, b) * b
+
+
+def _interpret_default() -> bool:
+    if os.environ.get(const.INTERPRET_FLAG, "0") == "1":
+        return True
+    return jax.default_backend() != "tpu"
+
+
+def _spmm_block_kernel(
+    wob_ref,  # scalar-prefetch: int32 (total_blocks,) window of each block
+    bitmask_ref,  # (1, words, K) uint32
+    xg_ref,  # (K, block_d) feat dtype
+    out_ref,  # (block_h, block_d) float32
+    *,
+    block_h: int,
+    compute_dtype,
+    precision,
+):
+    b = pl.program_id(1)
+    w = wob_ref[b]
+    prev_w = wob_ref[jnp.maximum(b - 1, 0)]
+    is_first = jnp.logical_or(b == 0, prev_w != w)
+
+    mask = expand_bitmask(bitmask_ref[0], block_h, compute_dtype)
+    xg = xg_ref[...].astype(compute_dtype)
+    contrib = jnp.dot(
+        mask, xg, preferred_element_type=jnp.float32, precision=precision
+    )
+
+    @pl.when(is_first)
+    def _():
+        out_ref[...] = contrib
+
+    @pl.when(jnp.logical_not(is_first))
+    def _():
+        out_ref[...] += contrib
+
+
+def spmm_pallas(
+    plan: SpmmPlan,
+    feat: jax.Array,
+    *,
+    block_d: int | None = None,
+    compute_dtype=jnp.float32,
+    precision=None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """out[N, D] = A[N, N] @ feat[N, D] via the binned block-CSR plan.
+
+    compute_dtype: dtype fed to the MXU. float32 with default precision
+    reproduces the reference's tf32-class accuracy (MXU rounds inputs to
+    bf16 internally); bfloat16 halves the stream volume; float32 with
+    precision="highest" gives near-exact fp32 at ~3x MXU passes.
+    """
+    n, d = feat.shape
+    assert n == plan.num_nodes, (n, plan.num_nodes)
+    out_dtype = feat.dtype
+    if plan.total_blocks == 0:
+        return jnp.zeros((n, d), out_dtype)
+
+    cfg = plan.config
+    block_h, block_w, words = cfg.block_h, cfg.block_w, cfg.words_per_col
+    assert block_h % 32 == 0, "device kernel requires block_h % 32 == 0"
+    assert block_w % 128 == 0, "device kernel requires block_w % 128 == 0"
+    if interpret is None:
+        interpret = _interpret_default()
+
+    d_pad = _round_up(d, 128)
+    if block_d is None:
+        block_d = min(d_pad, 512)
+    d_pad = _round_up(d_pad, block_d)
+    if d_pad != d:
+        feat = jnp.pad(feat, ((0, 0), (0, d_pad - d)))
+    num_chunks = d_pad // block_d
+
+    # XLA-native irregular gather: rows of X in compressed-column order.
+    hind_flat = jnp.asarray(plan.hind).reshape(-1)
+    xg = jnp.take(feat, hind_flat, axis=0, mode="clip")
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_chunks, plan.total_blocks),
+        in_specs=[
+            pl.BlockSpec((1, words, block_w), lambda c, b, wob: (b, 0, 0)),
+            pl.BlockSpec((block_w, block_d), lambda c, b, wob: (b, c)),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_h, block_d), lambda c, b, wob: (wob[b], c)
+        ),
+    )
+
+    kernel = functools.partial(
+        _spmm_block_kernel,
+        block_h=block_h,
+        compute_dtype=compute_dtype,
+        precision=precision,
+    )
+    flops = 2 * plan.total_blocks * block_h * block_w * d_pad
+    bytes_accessed = (
+        xg.size * xg.dtype.itemsize
+        + plan.total_blocks * words * block_w * 4
+        + plan.padded_nodes * d_pad * 4
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((plan.padded_nodes, d_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        interpret=interpret,
+    )(jnp.asarray(plan.window_of_block), jnp.asarray(plan.bitmask), xg)
+
+    return out[:n, :d].astype(out_dtype)

@@ -1,0 +1,172 @@
+"""Benchmark, timing, and accuracy utilities.
+
+TPU-native equivalents of the reference's utils (reference:
+voltrix/utils.py — `calc_diff`:38-42, `relative_error`:45-49,
+`GPU_bench`:324-350, `CPU_bench`, `bench_kineto`:232-321). CUDA events /
+kineto profiling are replaced by `jax.block_until_ready` dispatch-loop
+timing with warmup, and an optional `jax.profiler` trace export.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import logging
+import os
+import time
+from typing import Callable
+
+import jax
+import numpy as np
+
+logger = logging.getLogger("voltrix_tpu")
+
+
+def _to_numpy(x) -> np.ndarray:
+    return np.asarray(x, dtype=np.float64)
+
+
+def calc_diff(x, y) -> float:
+    """Cosine-style "difference rate" metric.
+
+    Same formula as the reference (voltrix/utils.py:38-42):
+    ``1 - sim`` where ``sim = 2 x·y / (|x|^2 + |y|^2)``. 0.0 means identical.
+    """
+    x, y = _to_numpy(x), _to_numpy(y)
+    if not (np.isfinite(x).all() and np.isfinite(y).all()):
+        logger.warning("calc_diff: non-finite values present")
+    denom = (x * x).sum() + (y * y).sum()
+    if denom == 0.0:
+        return 0.0
+    sim = 2.0 * (x * y).sum() / denom
+    return float(1.0 - sim)
+
+
+def relative_error(ref, out, eps: float = 1e-12) -> float:
+    """Frobenius relative error |out - ref| / |ref| (voltrix/utils.py:45-49)."""
+    ref, out = _to_numpy(ref), _to_numpy(out)
+    return float(np.linalg.norm(out - ref) / (np.linalg.norm(ref) + eps))
+
+
+def TPU_bench(
+    fn: Callable[[], object],
+    iters: int = 10,
+    warmup: int = 10,
+    trace_dir: str | None = None,
+) -> float:
+    """Time `fn` on-device, returning milliseconds per iteration.
+
+    Device-time analogue of the reference's `GPU_bench`
+    (voltrix/utils.py:324-350): warmup runs, then a timed dispatch loop
+    closed by `block_until_ready` (the TPU stand-in for cudaEvent /
+    kineto kernel timing). Optionally wraps the timed region in a
+    `jax.profiler` trace for kernel-level inspection.
+    """
+    out = None
+    for _ in range(max(warmup, 1)):
+        out = fn()
+    jax.block_until_ready(out)
+
+    ctx = (
+        jax.profiler.trace(trace_dir)
+        if trace_dir is not None
+        else contextlib.nullcontext()
+    )
+    with ctx:
+        start = time.perf_counter()
+        for _ in range(iters):
+            out = fn()
+        jax.block_until_ready(out)
+        end = time.perf_counter()
+    return (end - start) / iters * 1e3
+
+
+# GPU_bench alias for drop-in parity with reference call sites.
+GPU_bench = TPU_bench
+
+
+def CPU_bench(fn: Callable[[], object], iters: int = 10, warmup: int = 2) -> float:
+    """Wall-clock host timing in ms/iter (voltrix/utils.py CPU_bench)."""
+    for _ in range(warmup):
+        fn()
+    start = time.perf_counter()
+    for _ in range(iters):
+        fn()
+    end = time.perf_counter()
+    return (end - start) / iters * 1e3
+
+
+def device_loop_bench(
+    step_fn: Callable,
+    carry,
+    *args,
+    iters: int = 20,
+    trials: int = 3,
+) -> float:
+    """Robust device time in ms/iter for `step_fn(carry, *args) -> out`
+    where `out` has the carry's shape/dtype.
+
+    Runs the op in an on-device `fori_loop`, chaining iterations through a
+    negligible perturbation (`carry + 1e-38 * out`) so no iteration can be
+    cached, hoisted, or elided, then differences the wall time of a 1x and
+    2x loop inside single dispatches. This replaces kineto kernel timing
+    (reference voltrix/utils.py:232-350) and is reliable even when the
+    device sits behind an async RPC relay where `block_until_ready`
+    semantics are weak.
+    """
+    import functools
+
+    import jax.numpy as jnp
+    from jax import lax
+
+    @functools.partial(jax.jit, static_argnames="n_iter")
+    def run(c0, rest, n_iter):
+        def body(_, c):
+            out = step_fn(c, *rest)
+            return c + (1e-38 * out).astype(c.dtype)
+
+        return jnp.sum(lax.fori_loop(0, n_iter, body, c0))
+
+    float(run(carry, args, iters))  # compile
+    float(run(carry, args, 2 * iters))  # compile
+
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        float(run(carry, args, iters))
+        t1 = time.perf_counter()
+        float(run(carry, args, 2 * iters))
+        t2 = time.perf_counter()
+        slope = ((t2 - t1) - (t1 - t0)) / iters * 1e3
+        if slope > 0:
+            best = min(best, slope)
+    assert best != float("inf"), "timing produced no positive slope"
+    return best
+
+
+class DurationTimer:
+    """Context-manager timer returning elapsed ms (voltrix/utils.py:146-186).
+
+    Uses host wall clock around a `block_until_ready` barrier; on TPU the
+    dispatch queue makes this equivalent to device-event timing for
+    synchronous regions.
+    """
+
+    def __init__(self):
+        self._start = None
+        self._elapsed_ms = None
+
+    def __enter__(self):
+        self._start = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        self._elapsed_ms = (time.perf_counter() - self._start) * 1e3
+        return False
+
+    def get_duration(self) -> float:
+        assert self._elapsed_ms is not None, "timer not finished"
+        return self._elapsed_ms
+
+
+def env_flag(name: str) -> bool:
+    return os.environ.get(name, "0") not in ("", "0", "false", "False")
