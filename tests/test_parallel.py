@@ -1,0 +1,70 @@
+"""Multi-chip sharding tests on the 8-virtual-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from voltrix_spmm_tpu.format import PlanConfig, csr_preprocess
+from voltrix_spmm_tpu.models import build_graph, gcn_forward, init_gcn
+from voltrix_spmm_tpu.ops import spmm_pallas
+from voltrix_spmm_tpu.parallel import (
+    make_mesh,
+    make_sharded_train_step,
+    sharded_gcn_forward,
+    sharded_spmm,
+)
+
+CFG = PlanConfig(32, 128)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def test_mesh_shape():
+    mesh = make_mesh(8)
+    assert mesh.devices.shape == (2, 4)
+    assert mesh.axis_names == ("data", "model")
+
+
+def test_sharded_spmm_matches_single(rng):
+    n, d = 256, 256  # d split 4-ways over 'model'
+    a = sp.random(n, n, density=0.05, format="csr", random_state=rng)
+    plan = csr_preprocess(a.indptr, a.indices, n, CFG)
+    x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    mesh = make_mesh(8)
+    out_sharded = np.asarray(sharded_spmm(plan, x, mesh))
+    out_single = np.asarray(spmm_pallas(plan, x))
+    np.testing.assert_allclose(out_sharded, out_single, rtol=1e-5, atol=1e-4)
+
+
+def test_sharded_gcn_forward_matches_single(rng):
+    n, d, h, c, b = 192, 32, 64, 4, 2
+    a = sp.random(n, n, density=0.05, format="csr", random_state=rng)
+    a = ((a + a.T) != 0).astype(np.float32).tocsr()
+    g = build_graph(a.indptr, a.indices, n, CFG)
+    params = init_gcn(jax.random.PRNGKey(0), d, h, c)
+    x = jnp.asarray(rng.standard_normal((b, n, d)).astype(np.float32))
+    mesh = make_mesh(8)
+    out_sharded = np.asarray(sharded_gcn_forward(params, g, x, mesh))
+    out_single = np.asarray(gcn_forward(params, g, x))
+    np.testing.assert_allclose(out_sharded, out_single, rtol=1e-4, atol=1e-3)
+
+
+def test_sharded_train_step_runs_and_learns(rng):
+    n, d, h, c, b = 128, 16, 32, 3, 4
+    a = sp.random(n, n, density=0.05, format="csr", random_state=rng)
+    a = ((a + a.T) != 0).astype(np.float32).tocsr()
+    g = build_graph(a.indptr, a.indices, n, CFG)
+    params = init_gcn(jax.random.PRNGKey(0), d, h, c)
+    x = jnp.asarray(rng.standard_normal((b, n, d)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, c, size=(b, n)))
+    mesh = make_mesh(8)
+    step = make_sharded_train_step(mesh, lr=5e-2)
+    _, loss0 = step(params, g, x, y)
+    for _ in range(10):
+        params, loss = step(params, g, x, y)
+    assert float(loss) < float(loss0)
+    assert np.isfinite(float(loss))

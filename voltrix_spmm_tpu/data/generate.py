@@ -1,0 +1,74 @@
+"""Synthetic graph generators + locality reordering.
+
+The reference benchmarks on 12 downloaded GNN datasets after a Rabbit
+reorder (bench/graph_gen.py loads TC-GNN .npz files; the Voltrix/DTC
+rows run on `--reorder`ed graphs). This environment has no network
+egress, so the bench suite uses seeded synthetic stand-ins:
+
+- `erdos_renyi_csr`: uniform random (the reference's own test config,
+  tests/test_spmm.py: `sp.random(n, density)`),
+- `rmat_csr`: R-MAT power-law graphs (Graph500-style) approximating the
+  skewed degree distributions of reddit/ogbn-products,
+- `reorder_rcm`: reverse Cuthill-McKee bandwidth reduction — the
+  stand-in for the reference's Rabbit community reordering, which is
+  what makes window-level column dedup effective.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+
+
+def erdos_renyi_csr(num_nodes: int, density: float, seed: int = 0) -> sp.csr_matrix:
+    rng = np.random.default_rng(seed)
+    a = sp.random(
+        num_nodes, num_nodes, density=density, format="csr", random_state=rng
+    )
+    a.data[:] = 1.0
+    return a
+
+
+def rmat_csr(
+    scale: int,
+    avg_degree: int = 16,
+    a: float = 0.57,
+    b: float = 0.19,
+    c: float = 0.19,
+    seed: int = 0,
+) -> sp.csr_matrix:
+    """R-MAT graph with 2**scale nodes and ~avg_degree edges per node."""
+    n = 1 << scale
+    nnz = n * avg_degree
+    rng = np.random.default_rng(seed)
+    rows = np.zeros(nnz, dtype=np.int64)
+    cols = np.zeros(nnz, dtype=np.int64)
+    for _ in range(scale):
+        p = rng.random(nnz)
+        # quadrant probabilities (a | b / c | d)
+        rbit = (p >= a + b).astype(np.int64)
+        cbit = (((p >= a) & (p < a + b)) | (p >= a + b + c)).astype(np.int64)
+        rows = rows * 2 + rbit
+        cols = cols * 2 + cbit
+    m = sp.csr_matrix(
+        (np.ones(nnz, dtype=np.float32), (rows, cols)), shape=(n, n)
+    )
+    m.sum_duplicates()
+    m.data[:] = 1.0
+    return m
+
+
+def symmetrize(a: sp.csr_matrix) -> sp.csr_matrix:
+    s = ((a + a.T) != 0).astype(np.float32).tocsr()
+    s.sum_duplicates()
+    return s
+
+
+def reorder_rcm(a: sp.csr_matrix) -> tuple[sp.csr_matrix, np.ndarray]:
+    """Reverse Cuthill-McKee reorder; returns (reordered csr, permutation)."""
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    perm = reverse_cuthill_mckee(a, symmetric_mode=False)
+    a2 = a[perm][:, perm].tocsr()
+    a2.sort_indices()
+    return a2, perm

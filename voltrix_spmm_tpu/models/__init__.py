@@ -1,0 +1,15 @@
+from .graph import GraphData, build_graph, aggregate
+from .gcn import init_gcn, gcn_forward, gcn_loss, make_train_step
+from .sage import init_sage, sage_forward
+
+__all__ = [
+    "GraphData",
+    "build_graph",
+    "aggregate",
+    "init_gcn",
+    "gcn_forward",
+    "gcn_loss",
+    "make_train_step",
+    "init_sage",
+    "sage_forward",
+]

@@ -1,6 +1,7 @@
 from .reference import spmm_reference, spmm_scipy
 from .pallas_spmm import spmm_pallas
 from .bitmask import expand_bitmask, expand_bitmask_batched
+from .autodiff import spmm_ad
 
 
 def spmm(plan, feat, *, impl: str = "pallas", **kwargs):
@@ -17,6 +18,7 @@ def spmm(plan, feat, *, impl: str = "pallas", **kwargs):
 
 __all__ = [
     "spmm",
+    "spmm_ad",
     "spmm_pallas",
     "spmm_reference",
     "spmm_scipy",

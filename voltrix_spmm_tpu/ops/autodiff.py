@@ -1,0 +1,48 @@
+"""Differentiable SpMM.
+
+The reference is inference-only (forward SpMM, GCN/GraphSAGE
+aggregation, bmat_kernels.cuh:16-20). To support training the model
+layer on TPU we add a custom VJP: since A is binary,
+``d/dX (A @ X) = A^T @ g`` — another SpMM with the transpose plan. For
+symmetric adjacency (undirected graphs, the common GNN case) the same
+plan serves both directions.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+from ..format.plan import SpmmPlan
+from .pallas_spmm import spmm_pallas
+
+
+def _zero_cotangent(leaf):
+    aval = jax.typeof(leaf)
+    if np.issubdtype(aval.dtype, np.inexact):
+        import jax.numpy as jnp
+
+        return jnp.zeros(aval.shape, aval.dtype)
+    return np.zeros(aval.shape, jax.dtypes.float0)
+
+
+@jax.custom_vjp
+def spmm_ad(plan: SpmmPlan, plan_t: SpmmPlan, feat):
+    """SpMM with gradient support. `plan_t` must encode A^T (pass the
+    same plan for symmetric adjacency)."""
+    return spmm_pallas(plan, feat)
+
+
+def _spmm_fwd(plan, plan_t, feat):
+    return spmm_pallas(plan, feat), (plan, plan_t)
+
+
+def _spmm_bwd(res, g):
+    plan, plan_t = res
+    dfeat = spmm_pallas(plan_t, g)
+    plan_zeros = jax.tree.map(_zero_cotangent, plan)
+    plan_t_zeros = jax.tree.map(_zero_cotangent, plan_t)
+    return (plan_zeros, plan_t_zeros, dfeat)
+
+
+spmm_ad.defvjp(_spmm_fwd, _spmm_bwd)
