@@ -92,6 +92,41 @@ def test_duplicate_edges_are_binarized(rng):
     assert dense.sum() == 2
 
 
+@pytest.mark.parametrize(
+    "n,density,block_h,block_w",
+    [(500, 0.05, 128, 128), (1000, 0.01, 32, 128), (300, 0.08, 64, 256)],
+)
+def test_native_matches_numpy(rng, n, density, block_h, block_w):
+    from voltrix_spmm_tpu.runtime import native_available
+
+    if not native_available():
+        pytest.skip("no C++ toolchain")
+    a = random_csr(rng, n, density)
+    cfg = PlanConfig(block_h=block_h, block_w=block_w)
+    p_np = csr_preprocess(a.indptr, a.indices, n, cfg, backend="numpy")
+    p_cc = csr_preprocess(a.indptr, a.indices, n, cfg, backend="native")
+    np.testing.assert_array_equal(p_cc.bitmask, p_np.bitmask)
+    np.testing.assert_array_equal(p_cc.hind, p_np.hind)
+    np.testing.assert_array_equal(p_cc.block_ptr, p_np.block_ptr)
+    np.testing.assert_array_equal(p_cc.window_of_block, p_np.window_of_block)
+    assert p_cc.num_edges == p_np.num_edges
+    assert p_cc.total_blocks == p_np.total_blocks
+
+
+def test_native_duplicate_edges(rng):
+    from voltrix_spmm_tpu.runtime import native_available
+
+    if not native_available():
+        pytest.skip("no C++ toolchain")
+    indices = np.array([3, 3, 7, 7, 7], dtype=np.int32)
+    indptr = np.array([0, 5, 5, 5, 5, 5, 5, 5, 5], dtype=np.int32)
+    cfg = PlanConfig(block_h=32, block_w=128)
+    plan = csr_preprocess(indptr, indices, 8, cfg, backend="native")
+    assert plan.num_edges == 2
+    dense = plan_to_dense(plan)
+    assert dense.sum() == 2 and dense[0, 3] == 1 and dense[0, 7] == 1
+
+
 def test_stats(rng):
     n = 256
     a = random_csr(rng, n, 0.05)

@@ -1,0 +1,86 @@
+// Native window preprocessing: CSR -> binned block-CSR plan.
+//
+// TPU-native rebuild of the reference's OpenMP preprocessing
+// (reference: voltrix/include/voltrix/bmat_kernels.cuh:264-320 —
+// per-row-window neighbor sort + dedup + compressed-column numbering)
+// fused with the tile/bitmask materialization that the reference runs as
+// two GPU kernels (bmat_kernels.cuh:21-111, :151-193). On TPU the plan
+// is consumed by Pallas kernels, so the whole construction stays on the
+// host CPU and is parallelized with OpenMP over row windows.
+//
+// Two-pass contract (caller = voltrix_spmm_tpu/runtime/native.py):
+//   pass 1 analyze_windows: per-window sorted unique columns + counts
+//   (python computes the block prefix sum = reference Pointer1)
+//   pass 2 fill_plan: hind gather map + row-packed bitmask + exact nnz.
+#pragma once
+
+#include <algorithm>
+#include <cstdint>
+#include <vector>
+
+namespace voltrix_tpu {
+
+// uniq_cols has capacity nnz; window w's uniques are written at the
+// window's first edge offset indptr[w*W] (#uniques <= #edges per window).
+inline int analyze_windows(const int* indptr, const int* indices,
+                           long long num_nodes, long long window_rows,
+                           int* uniq_cols, int* win_unique) {
+  const long long W = window_rows;
+  const long long num_windows = (num_nodes + W - 1) / W;
+#pragma omp parallel
+  {
+    std::vector<int> buf;
+#pragma omp for schedule(dynamic, 1)
+    for (long long w = 0; w < num_windows; ++w) {
+      const long long r0 = w * W;
+      const long long r1 = std::min((w + 1) * W, num_nodes);
+      const long long e0 = indptr[r0], e1 = indptr[r1];
+      buf.assign(indices + e0, indices + e1);
+      std::sort(buf.begin(), buf.end());
+      buf.erase(std::unique(buf.begin(), buf.end()), buf.end());
+      win_unique[w] = static_cast<int>(buf.size());
+      std::copy(buf.begin(), buf.end(), uniq_cols + e0);
+    }
+  }
+  return 0;
+}
+
+inline int fill_plan(const int* indptr, const int* indices,
+                     long long num_nodes, long long window_rows,
+                     long long block_cols, const int* uniq_cols,
+                     const int* win_unique, const long long* block_ptr,
+                     int* hind, unsigned int* bitmask, long long words,
+                     long long* nnz_out) {
+  const long long W = window_rows, K = block_cols;
+  const long long num_windows = (num_nodes + W - 1) / W;
+  long long nnz_dedup = 0;
+#pragma omp parallel for schedule(dynamic, 1) reduction(+ : nnz_dedup)
+  for (long long w = 0; w < num_windows; ++w) {
+    const long long r0 = w * W;
+    const long long r1 = std::min((w + 1) * W, num_nodes);
+    const long long e0 = indptr[r0];
+    const int* uc = uniq_cols + e0;
+    const int U = win_unique[w];
+    const long long b0 = block_ptr[w];
+    for (int p = 0; p < U; ++p) {
+      hind[(b0 + p / K) * K + (p % K)] = uc[p];
+    }
+    for (long long r = r0; r < r1; ++r) {
+      const int rl = static_cast<int>(r - r0);
+      const unsigned int bit = 1u << (rl % 32);
+      const long long word_row = rl / 32;
+      for (long long e = indptr[r]; e < indptr[r + 1]; ++e) {
+        const int p =
+            static_cast<int>(std::lower_bound(uc, uc + U, indices[e]) - uc);
+        const long long b = b0 + p / K;
+        unsigned int& wordref = bitmask[(b * words + word_row) * K + (p % K)];
+        nnz_dedup += (wordref & bit) ? 0 : 1;  // exact dedup'd edge count
+        wordref |= bit;
+      }
+    }
+  }
+  *nnz_out = nnz_dedup;
+  return 0;
+}
+
+}  // namespace voltrix_tpu

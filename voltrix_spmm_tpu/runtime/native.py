@@ -1,21 +1,157 @@
-"""ctypes bridge to the C++/OpenMP preprocessing runtime (stub until the
-JIT layer lands; `native_available()` gates callers to the numpy path)."""
+"""ctypes bridge to the C++/OpenMP preprocessing runtime.
+
+Builds (via the g++ JIT/cache layer, like the reference builds its
+native preprocessing through the nvcc JIT, voltrix/jit_kernels/
+preprocess.py:23 -> voltrix::preprocess) and calls the two-pass plan
+construction in csrc/voltrix_preprocess.hpp. Falls back cleanly when no
+compiler is available (`native_available()` gates callers).
+"""
 
 from __future__ import annotations
+
+import functools
+import logging
+import os
 
 import numpy as np
 
 from ..format.plan import PlanConfig, SpmmPlan
+from ..project import const
+
+logger = logging.getLogger("voltrix_tpu")
+
+_INCLUDES = ('"voltrix_preprocess.hpp"',)
+
+_ANALYZE_ARGS = (
+    ("indptr", np.int32),
+    ("indices", np.int32),
+    ("num_nodes", int),
+    ("window_rows", int),
+    ("uniq_cols", np.int32),
+    ("win_unique", np.int32),
+)
+
+_ANALYZE_BODY = """
+    __return_code = voltrix_tpu::analyze_windows(
+        indptr, indices, num_nodes, window_rows, uniq_cols, win_unique);
+"""
+
+_FILL_ARGS = (
+    ("indptr", np.int32),
+    ("indices", np.int32),
+    ("num_nodes", int),
+    ("window_rows", int),
+    ("block_cols", int),
+    ("uniq_cols", np.int32),
+    ("win_unique", np.int32),
+    ("block_ptr", np.int64),
+    ("hind", np.int32),
+    ("bitmask", np.uint32),
+    ("words", int),
+    ("nnz_out", np.int64),
+)
+
+_FILL_BODY = """
+    __return_code = voltrix_tpu::fill_plan(
+        indptr, indices, num_nodes, window_rows, block_cols, uniq_cols,
+        win_unique, block_ptr, hind, bitmask, words, nnz_out);
+"""
+
+
+@functools.cache
+def _build_kernels():
+    from .. import jit
+
+    analyze = jit.build(
+        "preprocess_analyze",
+        _ANALYZE_ARGS,
+        jit.generate(_INCLUDES, _ANALYZE_ARGS, _ANALYZE_BODY),
+    )
+    fill = jit.build(
+        "preprocess_fill", _FILL_ARGS, jit.generate(_INCLUDES, _FILL_ARGS, _FILL_BODY)
+    )
+    return analyze, fill
 
 
 def native_available() -> bool:
-    return False
+    if os.environ.get(const.DISABLE_NATIVE_FLAG, "0") == "1":
+        return False
+    try:
+        _build_kernels()
+        return True
+    except Exception as e:  # no compiler / build failure -> numpy path
+        logger.warning("native preprocessing unavailable: %s", e)
+        return False
 
 
 def native_preprocess(
-    indptr: np.ndarray,
-    indices: np.ndarray,
+    indptr,
+    indices,
     num_nodes: int,
     config: PlanConfig,
 ) -> SpmmPlan:
-    raise NotImplementedError("native runtime not built yet")
+    analyze, fill = _build_kernels()
+    W, K, words = config.block_h, config.block_w, config.words_per_col
+    num_windows = max(-(-num_nodes // W), 1)
+
+    indptr = np.ascontiguousarray(indptr, dtype=np.int32)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    nnz_in = int(indices.shape[0])
+    assert indptr.shape[0] == num_nodes + 1
+
+    if nnz_in == 0:
+        return SpmmPlan(
+            bitmask=np.zeros((0, words, K), np.uint32),
+            hind=np.zeros((0, K), np.int32),
+            window_of_block=np.zeros((0,), np.int32),
+            block_ptr=np.zeros((num_windows + 1,), np.int32),
+            config=config,
+            num_nodes=num_nodes,
+            num_edges=0,
+            num_windows=num_windows,
+            total_blocks=0,
+        )
+
+    uniq_cols = np.empty(nnz_in, dtype=np.int32)
+    win_unique = np.zeros(num_windows, dtype=np.int32)
+    rc = analyze(indptr, indices, num_nodes, W, uniq_cols, win_unique)
+    assert rc == 0, f"analyze_windows failed with code {rc}"
+
+    blocks_per_window = -(-win_unique.astype(np.int64) // K)
+    block_ptr = np.zeros(num_windows + 1, dtype=np.int64)
+    np.cumsum(blocks_per_window, out=block_ptr[1:])
+    total_blocks = int(block_ptr[-1])
+
+    hind = np.zeros((total_blocks, K), dtype=np.int32)
+    bitmask = np.zeros((total_blocks, words, K), dtype=np.uint32)
+    nnz_out = np.zeros(1, dtype=np.int64)
+    rc = fill(
+        indptr,
+        indices,
+        num_nodes,
+        W,
+        K,
+        uniq_cols,
+        win_unique,
+        block_ptr,
+        hind.reshape(-1),
+        bitmask.reshape(-1),
+        words,
+        nnz_out,
+    )
+    assert rc == 0, f"fill_plan failed with code {rc}"
+
+    window_of_block = np.repeat(
+        np.arange(num_windows, dtype=np.int32), blocks_per_window
+    )
+    return SpmmPlan(
+        bitmask=bitmask,
+        hind=hind,
+        window_of_block=window_of_block,
+        block_ptr=block_ptr.astype(np.int32),
+        config=config,
+        num_nodes=num_nodes,
+        num_edges=int(nnz_out[0]),
+        num_windows=num_windows,
+        total_blocks=total_blocks,
+    )
