@@ -92,17 +92,39 @@ def test_duplicate_edges_are_binarized(rng):
     assert dense.sum() == 2
 
 
+@pytest.mark.parametrize("seg", [4, 8, 16])
+@pytest.mark.parametrize("n,density", [(500, 0.05), (333, 0.02)])
+def test_coverage_plan_reconstructs_dense(rng, n, density, seg):
+    a = random_csr(rng, n, density)
+    cfg = PlanConfig(block_h=32, block_w=128, gather_segment=seg)
+    plan = csr_preprocess(a.indptr, a.indices, n, cfg, backend="numpy")
+    dense = plan_to_dense(plan)
+    np.testing.assert_array_equal(dense, (a.toarray() != 0).astype(np.uint8))
+    # covered lanes form seg-aligned runs of consecutive source rows
+    hind = np.asarray(plan.hind).reshape(plan.total_blocks, -1, seg)
+    starts = hind[:, :, 0]
+    assert (starts % seg == 0).all()
+    expect = starts[:, :, None] + np.arange(seg)
+    np.testing.assert_array_equal(hind, expect)
+
+
 @pytest.mark.parametrize(
-    "n,density,block_h,block_w",
-    [(500, 0.05, 128, 128), (1000, 0.01, 32, 128), (300, 0.08, 64, 256)],
+    "n,density,block_h,block_w,seg",
+    [
+        (500, 0.05, 128, 128, 1),
+        (1000, 0.01, 32, 128, 1),
+        (300, 0.08, 64, 256, 1),
+        (500, 0.05, 128, 128, 8),
+        (1000, 0.01, 32, 128, 16),
+    ],
 )
-def test_native_matches_numpy(rng, n, density, block_h, block_w):
+def test_native_matches_numpy(rng, n, density, block_h, block_w, seg):
     from voltrix_spmm_tpu.runtime import native_available
 
     if not native_available():
         pytest.skip("no C++ toolchain")
     a = random_csr(rng, n, density)
-    cfg = PlanConfig(block_h=block_h, block_w=block_w)
+    cfg = PlanConfig(block_h=block_h, block_w=block_w, gather_segment=seg)
     p_np = csr_preprocess(a.indptr, a.indices, n, cfg, backend="numpy")
     p_cc = csr_preprocess(a.indptr, a.indices, n, cfg, backend="native")
     np.testing.assert_array_equal(p_cc.bitmask, p_np.bitmask)

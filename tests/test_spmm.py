@@ -80,6 +80,64 @@ def test_spmm_empty(rng):
     assert out.shape == (n, d)
     assert np.asarray(out).sum() == 0
 
+@pytest.mark.parametrize(
+    "n,density,d,cfg",
+    [
+        (512, 0.05, 64, PlanConfig(128, 128, gather_segment=8)),
+        (300, 0.02, 130, PlanConfig(32, 128, gather_segment=16)),
+        (700, 0.01, 256, PlanConfig(64, 256, gather_segment=32)),
+    ],
+)
+def test_spmm_fused_matches_scipy(rng, n, density, d, cfg):
+    from voltrix_spmm_tpu.ops import spmm_pallas_fused
+
+    a, feat, oracle = make_problem(rng, n, density, d)
+    plan = csr_preprocess(a.indptr, a.indices, n, cfg)
+    out = np.asarray(spmm_pallas_fused(plan, jnp.asarray(feat)))
+    assert out.shape == oracle.shape
+    assert calc_diff(out, oracle) < 1e-6
+    np.testing.assert_allclose(out, oracle, rtol=1e-5, atol=1e-4)
+
+
+def test_spmm_fused_multichunk(rng):
+    from voltrix_spmm_tpu.ops import spmm_pallas_fused
+
+    n, d = 256, 512
+    a, feat, oracle = make_problem(rng, n, 0.03, d)
+    plan = csr_preprocess(a.indptr, a.indices, n, PlanConfig(32, 128, 8))
+    out = np.asarray(spmm_pallas_fused(plan, jnp.asarray(feat), block_d=128))
+    np.testing.assert_allclose(out, oracle, rtol=1e-5, atol=1e-4)
+
+
+def test_spmm_auto_impl_uses_fused(rng):
+    n, d = 256, 64
+    a, feat, oracle = make_problem(rng, n, 0.05, d)
+    plan = csr_preprocess(a.indptr, a.indices, n, PlanConfig(32, 128, 16))
+    out = np.asarray(spmm(plan, jnp.asarray(feat)))
+    np.testing.assert_allclose(out, oracle, rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("impl", ["pregather", "fused"])
+def test_spmm_empty_windows(rng, impl):
+    # rows 96..127 populated only -> windows 0..2 (of block_h=32) empty;
+    # empty-window output tiles must be zero, not uninitialized memory
+    n, d = 128, 64
+    rows = np.repeat(np.arange(96, 128), 3)
+    cols = rng.integers(0, n, size=rows.shape[0])
+    a = sp.csr_matrix((np.ones(len(rows)), (rows, cols)), shape=(n, n))
+    a.sum_duplicates()
+    feat = rng.standard_normal((n, d)).astype(np.float32)
+    oracle = spmm_scipy(a.indptr, a.indices, n, feat).astype(np.float32)
+    seg = 8 if impl == "fused" else 1
+    plan = csr_preprocess(
+        a.indptr, a.indices, n, PlanConfig(32, 128, gather_segment=seg)
+    )
+    assert (np.diff(np.asarray(plan.block_ptr)) == 0).any()
+    out = np.asarray(spmm(plan, jnp.asarray(feat), impl=impl))
+    np.testing.assert_allclose(out, oracle, rtol=1e-5, atol=1e-4)
+    assert np.abs(out[:96]).max() == 0.0
+
+
 def test_spmm_multichunk_feature_dim(rng):
     # feature dim larger than one chunk exercises the (chunk, block) grid
     n, d = 256, 512

@@ -20,11 +20,12 @@
 
 namespace voltrix_tpu {
 
-// uniq_cols has capacity nnz; window w's uniques are written at the
-// window's first edge offset indptr[w*W] (#uniques <= #edges per window).
+// uniq_cols has capacity nnz; window w's unique column *segments*
+// (column ids divided by `seg`; seg=1 -> plain columns) are written at
+// the window's first edge offset indptr[w*W] (#uniques <= #edges).
 inline int analyze_windows(const int* indptr, const int* indices,
                            long long num_nodes, long long window_rows,
-                           int* uniq_cols, int* win_unique) {
+                           long long seg, int* uniq_cols, int* win_unique) {
   const long long W = window_rows;
   const long long num_windows = (num_nodes + W - 1) / W;
 #pragma omp parallel
@@ -35,7 +36,9 @@ inline int analyze_windows(const int* indptr, const int* indices,
       const long long r0 = w * W;
       const long long r1 = std::min((w + 1) * W, num_nodes);
       const long long e0 = indptr[r0], e1 = indptr[r1];
-      buf.assign(indices + e0, indices + e1);
+      buf.resize(e1 - e0);
+      for (long long e = e0; e < e1; ++e)
+        buf[e - e0] = indices[e] / static_cast<int>(seg);
       std::sort(buf.begin(), buf.end());
       buf.erase(std::unique(buf.begin(), buf.end()), buf.end());
       win_unique[w] = static_cast<int>(buf.size());
@@ -47,9 +50,10 @@ inline int analyze_windows(const int* indptr, const int* indices,
 
 inline int fill_plan(const int* indptr, const int* indices,
                      long long num_nodes, long long window_rows,
-                     long long block_cols, const int* uniq_cols,
-                     const int* win_unique, const long long* block_ptr,
-                     int* hind, unsigned int* bitmask, long long words,
+                     long long block_cols, long long seg,
+                     const int* uniq_cols, const int* win_unique,
+                     const long long* block_ptr, int* hind,
+                     unsigned int* bitmask, long long words,
                      long long* nnz_out) {
   const long long W = window_rows, K = block_cols;
   const long long num_windows = (num_nodes + W - 1) / W;
@@ -62,16 +66,23 @@ inline int fill_plan(const int* indptr, const int* indices,
     const int* uc = uniq_cols + e0;
     const int U = win_unique[w];
     const long long b0 = block_ptr[w];
-    for (int p = 0; p < U; ++p) {
-      hind[(b0 + p / K) * K + (p % K)] = uc[p];
+    const long long lanes = (block_ptr[w + 1] - b0) * K;
+    for (long long p = 0; p < lanes; ++p) {
+      // lane p holds covered row uc[p/seg]*seg + p%seg (may exceed
+      // num_nodes-1 at the tail; its bits stay zero, consumers pad/clip).
+      // Padding lanes carry the canonical [0..seg) run so every seg-lane
+      // group stays a valid aligned DMA descriptor.
+      const int base = (p < U * seg) ? uc[p / seg] * static_cast<int>(seg) : 0;
+      hind[(b0 + p / K) * K + (p % K)] = base + static_cast<int>(p % seg);
     }
     for (long long r = r0; r < r1; ++r) {
       const int rl = static_cast<int>(r - r0);
       const unsigned int bit = 1u << (rl % 32);
       const long long word_row = rl / 32;
       for (long long e = indptr[r]; e < indptr[r + 1]; ++e) {
-        const int p =
-            static_cast<int>(std::lower_bound(uc, uc + U, indices[e]) - uc);
+        const int cseg = indices[e] / static_cast<int>(seg);
+        const long long p =
+            (std::lower_bound(uc, uc + U, cseg) - uc) * seg + indices[e] % seg;
         const long long b = b0 + p / K;
         unsigned int& wordref = bitmask[(b * words + word_row) * K + (p % K)];
         nnz_dedup += (wordref & bit) ? 0 : 1;  // exact dedup'd edge count

@@ -45,13 +45,23 @@ class PlanConfig:
     block_h: rows of A per window (MXU output rows). Multiple of 8.
     block_w: compressed columns per block (MXU contraction). Multiple of 128
              for the device kernel; the format itself accepts any value.
+    gather_segment: source-row coverage granularity. 1 = exact (each lane
+        is one deduped neighbor). s > 1 covers the window's neighbor set
+        with s-aligned runs of s consecutive X rows, so the fused kernel
+        fetches each run with ONE DMA (the TPU answer to the reference's
+        TMA bulk copies of 8-row tiles, spmm_kernels.cuh:1563-1570) at
+        the cost of gathering covered-but-absent rows (their mask bits
+        are 0). Locality reordering (RCM/Rabbit) keeps the overhead low.
     """
 
     block_h: int = 128
     block_w: int = 128
+    gather_segment: int = 1
 
     def __post_init__(self):
         assert self.block_h > 0 and self.block_w > 0
+        assert self.gather_segment >= 1
+        assert self.block_w % self.gather_segment == 0
 
     @property
     def words_per_col(self) -> int:
@@ -73,6 +83,7 @@ class SpmmPlan:
     num_edges: int  # deduplicated nnz actually represented
     num_windows: int
     total_blocks: int
+    has_empty_windows: bool = False  # any window with zero blocks
 
     def tree_flatten(self):
         children = (self.bitmask, self.hind, self.window_of_block, self.block_ptr)
@@ -82,6 +93,7 @@ class SpmmPlan:
             self.num_edges,
             self.num_windows,
             self.total_blocks,
+            self.has_empty_windows,
         )
         return children, aux
 

@@ -103,43 +103,57 @@ def _numpy_preprocess(
             num_edges=0,
             num_windows=num_windows,
             total_blocks=0,
+            has_empty_windows=True,
         )
 
     win = rows // W
-    # Sorted-unique (window, col): this single call is the window-local
-    # sort + dedup + compressed-column numbering of the reference
-    # (bmat_kernels.cuh:290-307 edgeToColumn construction).
-    wc = win * num_nodes + cols
+    seg = config.gather_segment
+    num_segs_total = _cdiv(num_nodes, seg)
+    # Sorted-unique (window, col-segment): at seg=1 this is exactly the
+    # window-local sort + dedup + compressed-column numbering of the
+    # reference (bmat_kernels.cuh:290-307 edgeToColumn construction); at
+    # seg>1 it is the aligned-run coverage of the neighbor set.
+    wc = win * num_segs_total + cols // seg
     uniq_wc, edge_to_unique = np.unique(wc, return_inverse=True)
-    uniq_win = uniq_wc // num_nodes
-    uniq_col = (uniq_wc % num_nodes).astype(np.int64)
+    uniq_win = uniq_wc // num_segs_total
+    uniq_seg = (uniq_wc % num_segs_total).astype(np.int64)
 
-    # blocks per window = ceil(#unique / K)  (reference blockPartition,
+    # blocks per window = ceil(#covered / K)  (reference blockPartition,
     # bmat_kernels.cuh:298-299); block_ptr = exclusive prefix (Pointer1,
     # bmat_kernels.cuh:312-319).
     win_unique = np.bincount(uniq_win, minlength=num_windows)
-    blocks_per_window = -(-win_unique // K)
+    blocks_per_window = -(-(win_unique * seg) // K)
     block_ptr = np.zeros(num_windows + 1, dtype=np.int64)
     np.cumsum(blocks_per_window, out=block_ptr[1:])
     total_blocks = int(block_ptr[-1])
 
     win_unique_start = np.zeros(num_windows + 1, dtype=np.int64)
     np.cumsum(win_unique, out=win_unique_start[1:])
-    # Position of each unique col inside its window's compressed numbering.
-    upos = np.arange(uniq_wc.shape[0], dtype=np.int64) - win_unique_start[uniq_win]
+    # Position of each unique segment inside its window's covered numbering
+    # (a segment never straddles a block since K % seg == 0).
+    upos = (
+        np.arange(uniq_wc.shape[0], dtype=np.int64) - win_unique_start[uniq_win]
+    ) * seg
     ublock = block_ptr[uniq_win] + upos // K
     ulane = upos % K
 
     # hind: source-row gather map, zero-padded lanes carry no bits
-    # (reference hind zero-init at bmat_kernels.cuh:71-74).
-    hind = np.zeros((total_blocks, K), dtype=np.int32)
-    hind[ublock, ulane] = uniq_col.astype(np.int32)
+    # (reference hind zero-init at bmat_kernels.cuh:71-74). Covered rows
+    # may exceed num_nodes-1 at the tail; their bits are all zero and
+    # consumers clip/pad.
+    # init: padding lanes carry the canonical [0..seg) run so every
+    # seg-lane group is a valid aligned DMA descriptor (bits all zero)
+    offs = np.arange(seg, dtype=np.int64)
+    hind = np.tile(offs.astype(np.int32), (total_blocks, K // seg))
+    hind[ublock[:, None], ulane[:, None] + offs[None, :]] = (
+        uniq_seg[:, None] * seg + offs[None, :]
+    ).astype(np.int32)
 
     # Row-packed bitmask: each edge lights exactly one distinct bit, so a
     # scatter-add of (1 << shift) is an exact bitwise OR.
     r_local = (rows % W).astype(np.int64)
     e_block = ublock[edge_to_unique]
-    e_lane = ulane[edge_to_unique]
+    e_lane = ulane[edge_to_unique] + cols % seg
     bitmask = np.zeros((total_blocks, words, K), dtype=np.uint32)
     np.add.at(
         bitmask,
@@ -161,6 +175,7 @@ def _numpy_preprocess(
         num_edges=nnz,
         num_windows=num_windows,
         total_blocks=total_blocks,
+        has_empty_windows=bool((blocks_per_window == 0).any()),
     )
 
 

@@ -162,4 +162,13 @@ def spmm_pallas(
         interpret=interpret,
     )(jnp.asarray(plan.window_of_block), jnp.asarray(plan.bitmask), xg)
 
+    # Windows with zero blocks are never visited by the grid, leaving
+    # their output tiles uninitialized — zero them explicitly.
+    if plan.has_empty_windows:
+        bpw = jnp.diff(jnp.asarray(plan.block_ptr))
+        nonempty = jnp.repeat(
+            bpw > 0, plan.config.block_h, total_repeat_length=plan.padded_nodes
+        )
+        out = jnp.where(nonempty[:, None], out, 0.0)
+
     return out[:n, :d].astype(out_dtype)

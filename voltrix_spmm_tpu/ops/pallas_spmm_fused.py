@@ -1,0 +1,230 @@
+"""Fused-gather Pallas SpMM kernel (the "Voltrix part").
+
+TPU-native redesign of the reference's producer/consumer persistent
+kernel `spmm_mma161616_spa_swizzle_d` (spmm_kernels.cuh:1458-1727):
+
+- Grid = (feature chunks, row windows) — the reference's persistent-CTA
+  wave over the same 2D space (DynamicWaveScheduler,
+  spmm_kernels.cuh:498-540) with scheduling left to XLA/Mosaic.
+- Each window walks its blocks (`block_ptr[w]..block_ptr[w+1]`, the
+  reference's Pointer1 ragged walk) in a software pipeline that runs
+  *across* window boundaries: while block b feeds the MXU, block b+1's
+  bitmask + gathered X segments are in flight, and block b+2's gather
+  descriptors are already being fetched — the TPU translation of the
+  producer-warp / mbarrier double buffering (spmm_kernels.cuh:1128-1194,
+  1519-1576). Buffer parity follows the *global* block id so the
+  pipeline never drains at a window transition.
+- X rows arrive in `gather_segment`-aligned runs, one
+  `pltpu.make_async_copy` per run (the TMA bulk-copy translation,
+  spmm_kernels.cuh:1563-1570), descriptors streamed HBM->SMEM.
+- Only `block_ptr` (one int per window) is scalar-prefetched, so SMEM
+  (1 MB) never bounds the matrix size, and empty windows write zeros
+  (no uninitialized output tiles).
+
+Requires a plan with `gather_segment >= 8`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..format.plan import SpmmPlan
+from .bitmask import expand_bitmask
+from .pallas_spmm import _cdiv, _interpret_default, _round_up
+
+
+def _fused_kernel(
+    # scalar prefetch
+    bp_ref,  # int32 (num_windows + 1,) block prefix per window
+    # inputs (all manual-DMA)
+    bitmask_ref,  # HBM (total_blocks, words, K) uint32
+    hind_ref,  # HBM (total_blocks, K) int32 gather rows (seg-th = starts)
+    x_ref,  # HBM (n_pad, d_pad) compute dtype
+    # outputs
+    out_ref,  # VMEM (block_h, block_d) float32
+    # scratch
+    desc_buf,  # SMEM (2, K) int32
+    bm_buf,  # VMEM (2, words, K) uint32
+    xg_buf,  # VMEM (2, K, block_d) compute dtype
+    desc_sems,  # DMA sems (2,)
+    bm_sems,  # DMA sems (2,)
+    xg_sems,  # DMA sems (2,)
+    *,
+    block_h: int,
+    block_w: int,
+    seg: int,
+    block_d: int,
+    compute_dtype,
+    precision,
+    total_blocks: int,
+):
+    nseg = block_w // seg
+    c = pl.program_id(0)
+    w = pl.program_id(1)
+    col0 = pl.multiple_of(c * block_d, block_d)
+    b0 = bp_ref[w]
+    nb = bp_ref[w + 1] - b0
+
+    def desc_dma(blk):
+        return pltpu.make_async_copy(
+            hind_ref.at[blk], desc_buf.at[blk % 2], desc_sems.at[blk % 2]
+        )
+
+    def bm_dma(blk):
+        return pltpu.make_async_copy(
+            bitmask_ref.at[blk], bm_buf.at[blk % 2], bm_sems.at[blk % 2]
+        )
+
+    def xg_dma(blk, j):
+        start = pl.multiple_of(desc_buf[blk % 2, j * seg], seg)
+        return pltpu.make_async_copy(
+            x_ref.at[pl.ds(start, seg), pl.ds(col0, block_d)],
+            xg_buf.at[blk % 2, pl.ds(j * seg, seg), :],
+            xg_sems.at[blk % 2],
+        )
+
+    def issue_block(blk):
+        """Start bitmask + gathered-X fetches for `blk` (desc must be in)."""
+        bm_dma(blk).start()
+        for j in range(nseg):
+            xg_dma(blk, j).start()
+
+    # pipeline cold start: the first non-empty window of each feature
+    # chunk (empty leading windows share b0 == 0 but have nb == 0)
+    @pl.when(jnp.logical_and(b0 == 0, nb > 0))
+    def _():
+        desc_dma(0).start()
+        desc_dma(0).wait()
+        issue_block(0)
+        if total_blocks > 1:
+            desc_dma(1).start()
+
+    out_ref[...] = jnp.zeros_like(out_ref)
+
+    def body(i, _):
+        blk = b0 + i
+        slot = blk % 2
+
+        # producer side: bring block blk+1's data in while blk computes
+        @pl.when(blk + 1 < total_blocks)
+        def _():
+            desc_dma(blk + 1).wait()
+            issue_block(blk + 1)
+
+        @pl.when(blk + 2 < total_blocks)
+        def _():
+            desc_dma(blk + 2).start()
+
+        # consumer side: wait for blk's bitmask + gathered rows
+        bm_dma(blk).wait()
+        for j in range(nseg):
+            xg_dma(blk, j).wait()
+
+        mask = expand_bitmask(bm_buf[slot], block_h, compute_dtype)
+        out_ref[...] += jnp.dot(
+            mask,
+            xg_buf[slot],
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        return 0
+
+    jax.lax.fori_loop(0, nb, body, 0)
+
+
+def spmm_pallas_fused(
+    plan: SpmmPlan,
+    feat: jax.Array,
+    *,
+    block_d: int | None = None,
+    compute_dtype=jnp.float32,
+    precision=None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """out[N, D] = A[N, N] @ feat[N, D], gather fused into the kernel."""
+    n, d = feat.shape
+    assert n == plan.num_nodes, (n, plan.num_nodes)
+    out_dtype = feat.dtype
+    if plan.total_blocks == 0:
+        return jnp.zeros((n, d), out_dtype)
+
+    cfg = plan.config
+    block_h, block_w, words = cfg.block_h, cfg.block_w, cfg.words_per_col
+    seg = cfg.gather_segment
+    assert seg >= 8, "fused kernel needs a coverage plan (gather_segment >= 8)"
+    assert block_h % 32 == 0 and block_w % 128 == 0
+    if interpret is None:
+        interpret = _interpret_default()
+
+    compute_dtype = jnp.dtype(compute_dtype)
+    d_pad = _round_up(d, 128)
+    if block_d is None:
+        block_d = min(d_pad, 1024)
+    d_pad = _round_up(d_pad, block_d)
+    num_chunks = d_pad // block_d
+
+    # pad rows so every seg-aligned descriptor is in bounds, cast once so
+    # the DMA stream (the dominant traffic) moves compute_dtype bytes
+    n_pad = _round_up(n, seg)
+    x = feat.astype(compute_dtype)
+    if (n_pad, d_pad) != (n, d):
+        x = jnp.pad(x, ((0, n_pad - n), (0, d_pad - d)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_chunks, plan.num_windows),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec((block_h, block_d), lambda c, w, bp: (w, c)),
+        scratch_shapes=[
+            pltpu.SMEM((2, block_w), jnp.int32),
+            pltpu.VMEM((2, words, block_w), jnp.uint32),
+            pltpu.VMEM((2, block_w, block_d), compute_dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    kernel = functools.partial(
+        _fused_kernel,
+        block_h=block_h,
+        block_w=block_w,
+        seg=seg,
+        block_d=block_d,
+        compute_dtype=compute_dtype,
+        precision=precision,
+        total_blocks=plan.total_blocks,
+    )
+    flops = 2 * plan.total_blocks * block_h * block_w * d_pad
+    bytes_accessed = (
+        plan.total_blocks * block_w * d_pad * compute_dtype.itemsize
+        + plan.total_blocks * words * block_w * 4
+        + plan.padded_nodes * d_pad * 4
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((plan.padded_nodes, d_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(plan.block_ptr),
+        jnp.asarray(plan.bitmask),
+        jnp.asarray(plan.hind),
+        x,
+    )
+    return out[:n, :d].astype(out_dtype)

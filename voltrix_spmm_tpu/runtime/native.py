@@ -27,13 +27,14 @@ _ANALYZE_ARGS = (
     ("indices", np.int32),
     ("num_nodes", int),
     ("window_rows", int),
+    ("seg", int),
     ("uniq_cols", np.int32),
     ("win_unique", np.int32),
 )
 
 _ANALYZE_BODY = """
     __return_code = voltrix_tpu::analyze_windows(
-        indptr, indices, num_nodes, window_rows, uniq_cols, win_unique);
+        indptr, indices, num_nodes, window_rows, seg, uniq_cols, win_unique);
 """
 
 _FILL_ARGS = (
@@ -42,6 +43,7 @@ _FILL_ARGS = (
     ("num_nodes", int),
     ("window_rows", int),
     ("block_cols", int),
+    ("seg", int),
     ("uniq_cols", np.int32),
     ("win_unique", np.int32),
     ("block_ptr", np.int64),
@@ -53,7 +55,7 @@ _FILL_ARGS = (
 
 _FILL_BODY = """
     __return_code = voltrix_tpu::fill_plan(
-        indptr, indices, num_nodes, window_rows, block_cols, uniq_cols,
+        indptr, indices, num_nodes, window_rows, block_cols, seg, uniq_cols,
         win_unique, block_ptr, hind, bitmask, words, nnz_out);
 """
 
@@ -110,14 +112,16 @@ def native_preprocess(
             num_edges=0,
             num_windows=num_windows,
             total_blocks=0,
+            has_empty_windows=True,
         )
 
+    seg = config.gather_segment
     uniq_cols = np.empty(nnz_in, dtype=np.int32)
     win_unique = np.zeros(num_windows, dtype=np.int32)
-    rc = analyze(indptr, indices, num_nodes, W, uniq_cols, win_unique)
+    rc = analyze(indptr, indices, num_nodes, W, seg, uniq_cols, win_unique)
     assert rc == 0, f"analyze_windows failed with code {rc}"
 
-    blocks_per_window = -(-win_unique.astype(np.int64) // K)
+    blocks_per_window = -(-(win_unique.astype(np.int64) * seg) // K)
     block_ptr = np.zeros(num_windows + 1, dtype=np.int64)
     np.cumsum(blocks_per_window, out=block_ptr[1:])
     total_blocks = int(block_ptr[-1])
@@ -131,6 +135,7 @@ def native_preprocess(
         num_nodes,
         W,
         K,
+        seg,
         uniq_cols,
         win_unique,
         block_ptr,
@@ -154,4 +159,5 @@ def native_preprocess(
         num_edges=int(nnz_out[0]),
         num_windows=num_windows,
         total_blocks=total_blocks,
+        has_empty_windows=bool((blocks_per_window == 0).any()),
     )
