@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Full benchmark sweep (reference: bench/bench_all.py).
+
+Datasets x feature dims {256, 512, 1024} x methods, validated against
+the scipy golden oracle, timed with the on-device loop harness, written
+to results.csv in the same row protocol as the reference
+(dataset, method, featdim, time_ms) for plot.py.
+
+Usage: python bench/bench_all.py [--datasets ...] [--dims 256,512]
+       [--methods ...] [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FEAT_DIMS = [256, 512, 1024]  # reference bench_all.py:21
+
+
+def methods_registry():
+    import jax.numpy as jnp
+
+    from voltrix_spmm_tpu.format import PlanConfig, csr_preprocess
+    from voltrix_spmm_tpu.ops import spmm_pallas, spmm_pallas_fused
+    from voltrix_spmm_tpu.ops.baselines import (
+        make_bcoo_spmm,
+        make_gather_segment_spmm,
+    )
+    from voltrix_spmm_tpu.tuner import tune_spmm
+
+    def voltrix_tuned(a, feat):
+        tuned = tune_spmm(a.indptr, a.indices, a.shape[0], feat)
+        return tuned, tuned.plan
+
+    def voltrix_pregather(a, feat):
+        plan = csr_preprocess(
+            a.indptr, a.indices, a.shape[0], PlanConfig(512, 128, 1)
+        ).device()
+        return (lambda x: spmm_pallas(plan, x)), plan
+
+    def voltrix_fused(a, feat):
+        plan = csr_preprocess(
+            a.indptr, a.indices, a.shape[0], PlanConfig(128, 128, 8)
+        ).device()
+        return (lambda x: spmm_pallas_fused(plan, x)), plan
+
+    def bcoo(a, feat):
+        return make_bcoo_spmm(a), None
+
+    def xla_gather(a, feat):
+        return make_gather_segment_spmm(a), None
+
+    return {
+        "Voltrix": voltrix_tuned,  # autotuned (the headline method)
+        "Voltrix-pregather": voltrix_pregather,
+        "Voltrix-fused": voltrix_fused,
+        "BCOO": bcoo,  # vendor sparse baseline (cuSPARSE role)
+        "XLA-gather": xla_gather,  # hand CSR baseline (GE-SpMM role)
+    }
+
+
+def run(args):
+    import jax.numpy as jnp
+
+    from voltrix_spmm_tpu.ops import spmm_scipy
+    from voltrix_spmm_tpu.utils import calc_diff, device_loop_bench
+
+    import graph_gen
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    registry = methods_registry()
+    methods = args.methods.split(",") if args.methods else list(registry)
+    dims = [int(x) for x in args.dims.split(",")]
+    rows = []
+    for name in args.datasets.split(","):
+        path = os.path.join(args.data_dir, f"{name}.reorder.npz")
+        if not os.path.exists(path):
+            os.makedirs(args.data_dir, exist_ok=True)
+            path = graph_gen.generate(name, args.data_dir, reorder=True)
+        a = graph_gen.load(path)
+        n = a.shape[0]
+        rng = np.random.default_rng(0)
+        for d in dims:
+            feat_np = rng.standard_normal((n, d)).astype(np.float32)
+            feat = jnp.asarray(feat_np)
+            oracle = spmm_scipy(a.indptr, a.indices, n, feat_np)
+            for method in methods:
+                try:
+                    fn, _ = registry[method](a, feat_np)
+                    out = np.asarray(fn(feat))
+                    diff = calc_diff(out, oracle)
+                    assert diff < 1e-4, f"accuracy failure: {diff}"
+                    t = device_loop_bench(
+                        lambda c, fn=fn: fn(c),
+                        feat,
+                        iters=args.iters,
+                        trials=2,
+                    )
+                except Exception as e:
+                    print(f"[{method}] {name} d={d}: FAILED ({e})")
+                    rows.append([name, method, d, float("nan")])
+                    continue
+                print(
+                    f"[{method}] {name} d={d}: {t:.3f} ms "
+                    f"(diff {diff * 100:.4f}%)"
+                )
+                rows.append([name, method, d, round(t, 4)])
+
+    out_csv = os.path.join(args.out_dir, "results.csv")
+    with open(out_csv, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["dataset", "method", "featdim", "time_ms"])
+        w.writerows(rows)
+    print(f"results -> {out_csv}")
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    here = os.path.dirname(os.path.abspath(__file__))
+    p.add_argument("--datasets", default="er-8k,rmat-17,sbm-131k,dense-4k")
+    p.add_argument("--dims", default="256,512,1024")
+    p.add_argument("--methods", default="")
+    p.add_argument("--data-dir", default=os.path.join(here, "data"))
+    p.add_argument("--out-dir", default=here)
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--quick", action="store_true")
+    args = p.parse_args()
+    if args.quick:
+        args.datasets = "er-8k"
+        args.dims = "256"
+        args.iters = 4
+    run(args)

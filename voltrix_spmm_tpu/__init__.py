@@ -18,6 +18,7 @@ plus the tuple-style compatibility wrappers in ``voltrix_spmm_tpu.spmm``.
 from . import project
 from .format import csr_preprocess, SpmmPlan, PlanConfig
 from .ops import spmm, spmm_reference
+from .tuner import tune_spmm, TunedSpmm, Variant
 from .utils import calc_diff, relative_error, TPU_bench, CPU_bench
 
 # Reference geometry constants (voltrix/spmm/spmm.py:12-13 uses 16x8 GPU
@@ -31,6 +32,9 @@ __version__ = "0.1.0"
 __all__ = [
     "csr_preprocess",
     "spmm",
+    "tune_spmm",
+    "TunedSpmm",
+    "Variant",
     "spmm_reference",
     "SpmmPlan",
     "PlanConfig",
