@@ -1,54 +1,72 @@
 #!/usr/bin/env python
 """Driver benchmark: prints ONE JSON line with the headline metric.
 
-Headline: Pallas SpMM speedup over `jax.experimental.sparse` BCOO on a
-power-law (R-MAT) graph — the TPU stand-in for the reference's
-speedup-over-cuSPARSE protocol (bench/bench_all.py). Target from
-BASELINE.md: >= 3x.
+Headline: autotuned Pallas SpMM speedup over `jax.experimental.sparse`
+BCOO on a power-law (R-MAT) graph — the TPU stand-in for the
+reference's speedup-over-cuSPARSE protocol (bench/bench_all.py).
+Target from BASELINE.md: >= 3x.
 """
 
 import json
 import sys
+import time
 
-import numpy as np
+
+def wait_for_tpu(max_wait_s: float = 600.0) -> bool:
+    """The axon relay flakes; probe with a tiny op before the real run."""
+    import subprocess
+
+    code = (
+        "import jax.numpy as jnp;"
+        "print(float((jnp.ones((128,128)) @ jnp.ones((128,128))).sum()))"
+    )
+    deadline = time.time() + max_wait_s
+    while time.time() < deadline:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True, timeout=90
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        time.sleep(15)
+    return False
 
 
 def main():
-    import jax
-    import jax.numpy as jnp
-    from jax.experimental import sparse as jsparse
+    import numpy as np
 
     sys.path.insert(0, ".")
-    from voltrix_spmm_tpu import csr_preprocess
     from voltrix_spmm_tpu.data import reorder_rcm, rmat_csr, symmetrize
-    from voltrix_spmm_tpu.ops import spmm_pallas
+    from voltrix_spmm_tpu.ops.baselines import make_bcoo_spmm
+    from voltrix_spmm_tpu.tuner import Variant, tune_spmm
     from voltrix_spmm_tpu.utils import device_loop_bench
 
-    scale, avg_deg, d = 17, 16, 256  # 131072 nodes, ~2M undirected edges
+    import jax.numpy as jnp
+
+    scale, avg_deg, d = 17, 16, 256  # 131072 nodes, ~3.7M undirected edges
     a = symmetrize(rmat_csr(scale, avg_deg, seed=0))
     a, _ = reorder_rcm(a)
-    n = a.shape[0]
-    nnz = a.nnz
+    n, nnz = a.shape[0], a.nnz
 
-    plan = csr_preprocess(a.indptr, a.indices, n).device()
     rng = np.random.default_rng(0)
-    feat = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    feat_np = rng.standard_normal((n, d)).astype(np.float32)
+    feat = jnp.asarray(feat_np)
 
-    t_pallas = device_loop_bench(
-        lambda c, p: spmm_pallas(p, c), feat, plan, iters=20
+    space = [
+        Variant("pregather", block_h=512),
+        Variant("pregather", block_h=1024),
+        Variant("pregather", block_h=1024, compute_dtype="bfloat16"),
+    ]
+    tuned = tune_spmm(
+        a.indptr, a.indices, n, feat_np, space=space,
+        hash_tag=f"bench-rmat{scale}-deg{avg_deg}",
     )
+    t_pallas = tuned.time_ms
 
-    coo = a.tocoo()
-    bcoo = jsparse.BCOO(
-        (
-            jnp.ones(nnz, jnp.float32),
-            jnp.asarray(np.stack([coo.row, coo.col], 1).astype(np.int32)),
-        ),
-        shape=(n, n),
-        indices_sorted=True,
-        unique_indices=True,
-    )
-    t_bcoo = device_loop_bench(lambda c, m: m @ c, feat, bcoo, iters=5)
+    bcoo = make_bcoo_spmm(a)
+    t_bcoo = device_loop_bench(lambda c, f=bcoo: f(c), feat, iters=5)
 
     speedup = t_bcoo / t_pallas
     tflops = 2.0 * nnz * d / (t_pallas * 1e-3) / 1e12
@@ -63,6 +81,7 @@ def main():
                     "pallas_ms": round(t_pallas, 4),
                     "bcoo_ms": round(t_bcoo, 4),
                     "nnz_tflops": round(tflops, 4),
+                    "variant": tuned.variant.key(),
                     "num_nodes": n,
                     "nnz": int(nnz),
                     "feat_dim": d,
@@ -73,4 +92,17 @@ def main():
 
 
 if __name__ == "__main__":
+    if not wait_for_tpu():
+        print(
+            json.dumps(
+                {
+                    "metric": "spmm_speedup_vs_bcoo_rmat17_d256",
+                    "value": 0.0,
+                    "unit": "x",
+                    "vs_baseline": 0.0,
+                    "detail": {"error": "TPU relay unreachable"},
+                }
+            )
+        )
+        sys.exit(0)
     main()

@@ -39,6 +39,8 @@ def test_spmm_reference_matches_scipy(rng, n, density, d):
         (512, 0.05, 64, PlanConfig(128, 128)),
         (300, 0.02, 130, PlanConfig(32, 128)),  # unaligned N and D
         (1000, 0.01, 256, PlanConfig(128, 256)),
+        (512, 0.05, 64, PlanConfig(32, 128, block_unroll=4)),
+        (400, 0.03, 96, PlanConfig(32, 128, gather_segment=8, block_unroll=2)),
     ],
 )
 def test_spmm_pallas_matches_scipy(rng, n, density, d, cfg):
@@ -136,6 +138,50 @@ def test_spmm_empty_windows(rng, impl):
     out = np.asarray(spmm(plan, jnp.asarray(feat), impl=impl))
     np.testing.assert_allclose(out, oracle, rtol=1e-5, atol=1e-4)
     assert np.abs(out[:96]).max() == 0.0
+
+
+def test_spmm_hybrid_matches_scipy(rng):
+    from voltrix_spmm_tpu.format import csr_preprocess_hybrid, hybrid_stats
+
+    n, d = 600, 96
+    # mixture: a clustered band (dense runs) + a random tail (scattered)
+    band = sp.diags(
+        [np.ones(n - k) for k in range(1, 6)], offsets=list(range(1, 6)),
+        shape=(n, n),
+    )
+    tail = sp.random(n, n, density=0.005, format="csr", random_state=rng)
+    a = ((band + tail) != 0).astype(np.float32).tocsr()
+    feat = rng.standard_normal((n, d)).astype(np.float32)
+    oracle = spmm_scipy(a.indptr, a.indices, n, feat).astype(np.float32)
+
+    plan = csr_preprocess_hybrid(
+        a.indptr, a.indices, n,
+        dense_config=PlanConfig(32, 128, 8),
+        sparse_config=PlanConfig(32, 128, 1),
+    )
+    stats = hybrid_stats(plan)
+    assert 0 < stats["dense_frac"] < 1  # genuinely split
+    assert plan.dense.num_edges + plan.sparse.num_edges == plan.num_edges
+    out = np.asarray(spmm(plan, jnp.asarray(feat)))
+    np.testing.assert_allclose(out, oracle, rtol=1e-5, atol=1e-4)
+
+
+def test_spmm_hybrid_all_one_side(rng):
+    from voltrix_spmm_tpu.format import csr_preprocess_hybrid
+
+    n, d = 128, 32
+    # pure random tail at low density -> everything lands in sparse part
+    a = sp.random(n, n, density=0.004, format="csr", random_state=rng)
+    feat = rng.standard_normal((n, d)).astype(np.float32)
+    oracle = spmm_scipy(a.indptr, a.indices, n, feat).astype(np.float32)
+    plan = csr_preprocess_hybrid(
+        a.indptr, a.indices, n,
+        dense_config=PlanConfig(32, 128, 16),
+        sparse_config=PlanConfig(32, 128, 1),
+        threshold=16,
+    )
+    out = np.asarray(spmm(plan, jnp.asarray(feat)))
+    np.testing.assert_allclose(out, oracle, rtol=1e-5, atol=1e-4)
 
 
 def test_spmm_multichunk_feature_dim(rng):

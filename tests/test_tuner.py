@@ -80,7 +80,10 @@ def test_invalid_candidate_skipped(problem, tmp_path):
         a.indptr, a.indices, a.shape[0], feat, space=space, iters=1
     )
     assert tuned.variant.impl == "pregather"
-    assert tuned.candidates["fused/h32w128s1/dNone/float32/None"] == float("inf")
+    assert (
+        tuned.candidates["fused/h32w128s1/dNone/float32/None/tNone"]
+        == float("inf")
+    )
 
 
 def test_hash_tag_controls_signature(problem, tmp_path):

@@ -1,5 +1,6 @@
 from .plan import SpmmPlan, PlanConfig
 from .preprocess import csr_preprocess, plan_to_dense, expand_bitmask_np, plan_stats
+from .hybrid import HybridPlan, csr_preprocess_hybrid, hybrid_stats
 
 __all__ = [
     "SpmmPlan",
@@ -8,4 +9,7 @@ __all__ = [
     "plan_to_dense",
     "expand_bitmask_np",
     "plan_stats",
+    "HybridPlan",
+    "csr_preprocess_hybrid",
+    "hybrid_stats",
 ]

@@ -57,11 +57,15 @@ class PlanConfig:
     block_h: int = 128
     block_w: int = 128
     gather_segment: int = 1
+    block_unroll: int = 1  # pad blocks/window to a multiple of this so
+    # kernels can process `block_unroll` blocks per grid step (amortizes
+    # per-step and MXU setup overhead); padding blocks carry zero bits
 
     def __post_init__(self):
         assert self.block_h > 0 and self.block_w > 0
         assert self.gather_segment >= 1
         assert self.block_w % self.gather_segment == 0
+        assert self.block_unroll >= 1
 
     @property
     def words_per_col(self) -> int:

@@ -123,6 +123,9 @@ def _numpy_preprocess(
     # bmat_kernels.cuh:312-319).
     win_unique = np.bincount(uniq_win, minlength=num_windows)
     blocks_per_window = -(-(win_unique * seg) // K)
+    if config.block_unroll > 1:
+        u = config.block_unroll
+        blocks_per_window = -(-blocks_per_window // u) * u
     block_ptr = np.zeros(num_windows + 1, dtype=np.int64)
     np.cumsum(blocks_per_window, out=block_ptr[1:])
     total_blocks = int(block_ptr[-1])

@@ -3,19 +3,28 @@ from .pallas_spmm import spmm_pallas
 from .pallas_spmm_fused import spmm_pallas_fused
 from .bitmask import expand_bitmask, expand_bitmask_batched
 from .autodiff import spmm_ad
+from .quant import spmm_pallas_int8, quantize_rows, dequantize_rows
+from .hybrid import spmm_pallas_hybrid
 
 
 def spmm(plan, feat, *, impl: str = "auto", **kwargs):
     """Public SpMM entry point (reference: voltrix/spmm/spmm.py:92-114).
 
-    impl: "auto" (fused when the plan supports it), "fused" (in-kernel
-    DMA gather), "pregather" / "pallas" (XLA gather + streaming kernel),
-    "reference" (plain-JAX oracle).
+    impl: "auto" (dispatch on plan type), "fused" (in-kernel DMA
+    gather), "pregather" / "pallas" (XLA gather + streaming kernel),
+    "hybrid" (dense runs fused + scattered tail pregathered), "int8"
+    (quantized stream), "reference" (plain-JAX oracle).
     """
+    from ..format.hybrid import HybridPlan
+
+    if isinstance(plan, HybridPlan):
+        return spmm_pallas_hybrid(plan, feat, **kwargs)
     if impl == "auto":
         impl = "fused" if plan.config.gather_segment >= 8 else "pregather"
     if impl == "fused":
         return spmm_pallas_fused(plan, feat, **kwargs)
+    if impl == "int8":
+        return spmm_pallas_int8(plan, feat, **kwargs)
     if impl in ("pallas", "pregather"):
         return spmm_pallas(plan, feat, **kwargs)
     if impl == "reference":
@@ -28,6 +37,10 @@ __all__ = [
     "spmm_ad",
     "spmm_pallas",
     "spmm_pallas_fused",
+    "spmm_pallas_int8",
+    "spmm_pallas_hybrid",
+    "quantize_rows",
+    "dequantize_rows",
     "spmm_reference",
     "spmm_scipy",
     "expand_bitmask",

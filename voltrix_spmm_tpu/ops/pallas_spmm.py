@@ -55,21 +55,32 @@ def _interpret_default() -> bool:
 
 
 def _spmm_block_kernel(
-    wob_ref,  # scalar-prefetch: int32 (total_blocks,) window of each block
-    bitmask_ref,  # (1, words, K) uint32
-    xg_ref,  # (K, block_d) feat dtype
+    wob_ref,  # scalar-prefetch: int32 (num_groups,) window of each group
+    bitmask_ref,  # (unroll, words, K) uint32
+    xg_ref,  # (unroll * K, block_d) feat dtype
     out_ref,  # (block_h, block_d) float32
     *,
     block_h: int,
     compute_dtype,
     precision,
+    unroll: int,
 ):
     b = pl.program_id(1)
     w = wob_ref[b]
     prev_w = wob_ref[jnp.maximum(b - 1, 0)]
     is_first = jnp.logical_or(b == 0, prev_w != w)
 
-    mask = expand_bitmask(bitmask_ref[0], block_h, compute_dtype)
+    # one wide masked matmul over `unroll` blocks: masks concatenated
+    # along lanes, gathered tiles along rows — amortizes per-step and
+    # MXU setup cost (the reference's K=16 block pairing taken further,
+    # spmm_kernels.cuh:1531 `i += 2` dual-block loop)
+    mask = jnp.concatenate(
+        [
+            expand_bitmask(bitmask_ref[u], block_h, compute_dtype)
+            for u in range(unroll)
+        ],
+        axis=1,
+    )
     xg = xg_ref[...].astype(compute_dtype)
     contrib = jnp.dot(
         mask, xg, preferred_element_type=jnp.float32, precision=precision
@@ -125,12 +136,20 @@ def spmm_pallas(
     hind_flat = jnp.asarray(plan.hind).reshape(-1)
     xg = jnp.take(feat, hind_flat, axis=0, mode="clip")
 
+    unroll = cfg.block_unroll
+    assert plan.total_blocks % unroll == 0, (plan.total_blocks, unroll)
+    num_groups = plan.total_blocks // unroll
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(num_chunks, plan.total_blocks),
+        grid=(num_chunks, num_groups),
         in_specs=[
-            pl.BlockSpec((1, words, block_w), lambda c, b, wob: (b, 0, 0)),
-            pl.BlockSpec((block_w, block_d), lambda c, b, wob: (b, c)),
+            pl.BlockSpec(
+                (unroll, words, block_w), lambda c, b, wob: (b, 0, 0)
+            ),
+            pl.BlockSpec(
+                (unroll * block_w, block_d), lambda c, b, wob: (b, c)
+            ),
         ],
         out_specs=pl.BlockSpec(
             (block_h, block_d), lambda c, b, wob: (wob[b], c)
@@ -142,6 +161,7 @@ def spmm_pallas(
         block_h=block_h,
         compute_dtype=compute_dtype,
         precision=precision,
+        unroll=unroll,
     )
     flops = 2 * plan.total_blocks * block_h * block_w * d_pad
     bytes_accessed = (
@@ -160,7 +180,7 @@ def spmm_pallas(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
         ),
         interpret=interpret,
-    )(jnp.asarray(plan.window_of_block), jnp.asarray(plan.bitmask), xg)
+    )(jnp.asarray(plan.window_of_block)[::unroll], jnp.asarray(plan.bitmask), xg)
 
     # Windows with zero blocks are never visited by the grid, leaving
     # their output tiles uninitialized — zero them explicitly.

@@ -1,0 +1,124 @@
+"""Quantized SpMM: int8 features with per-row scales.
+
+The reference ships fp8 quantization helpers in its utils
+(voltrix/utils.py fp8 quant section, unused by its SpMM path). On TPU
+quantization is a first-class SpMM variant: the gather stream is the
+dominant HBM traffic, so int8 features cut it 4x vs fp32. Scales are
+per source row, gathered alongside the rows and applied on the VPU
+before the MXU dot (bf16), keeping accuracy at ~1e-2 relative.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..format.plan import SpmmPlan
+from .bitmask import expand_bitmask
+from .pallas_spmm import _interpret_default, _round_up
+
+
+def quantize_rows(x: jax.Array, eps: float = 1e-30):
+    """Per-row symmetric int8 quantization: returns (q, scale[N, 1])."""
+    absmax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
+    scale = jnp.maximum(absmax, eps) / 127.0
+    q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)
+
+
+def dequantize_rows(q: jax.Array, scale: jax.Array, dtype=jnp.float32):
+    return q.astype(dtype) * scale.astype(dtype)
+
+
+def _quant_kernel(
+    wob_ref, bitmask_ref, xgq_ref, sc_ref, out_ref, *, block_h: int
+):
+    b = pl.program_id(1)
+    w = wob_ref[b]
+    prev_w = wob_ref[jnp.maximum(b - 1, 0)]
+    is_first = jnp.logical_or(b == 0, prev_w != w)
+
+    mask = expand_bitmask(bitmask_ref[0], block_h, jnp.bfloat16)
+    # dequantize on the VPU: int8 -> bf16 scaled by the per-source-row scale
+    xf = xgq_ref[...].astype(jnp.bfloat16) * sc_ref[0, 0][:, None].astype(
+        jnp.bfloat16
+    )
+    contrib = jnp.dot(mask, xf, preferred_element_type=jnp.float32)
+
+    @pl.when(is_first)
+    def _():
+        out_ref[...] = contrib
+
+    @pl.when(jnp.logical_not(is_first))
+    def _():
+        out_ref[...] += contrib
+
+
+def spmm_pallas_int8(
+    plan: SpmmPlan,
+    feat: jax.Array,
+    *,
+    block_d: int | None = None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """out = A @ feat with the gathered feature stream quantized to int8."""
+    n, d = feat.shape
+    assert n == plan.num_nodes
+    out_dtype = feat.dtype
+    if plan.total_blocks == 0:
+        return jnp.zeros((n, d), out_dtype)
+
+    cfg = plan.config
+    block_h, block_w, words = cfg.block_h, cfg.block_w, cfg.words_per_col
+    assert block_h % 32 == 0 and block_w % 128 == 0
+    if interpret is None:
+        interpret = _interpret_default()
+
+    d_pad = _round_up(d, 128)
+    if block_d is None:
+        block_d = min(d_pad, 512)
+    d_pad = _round_up(d_pad, block_d)
+    num_chunks = d_pad // block_d
+    if d_pad != d:
+        feat = jnp.pad(feat, ((0, 0), (0, d_pad - d)))
+
+    q, scale = quantize_rows(feat)
+    hind_flat = jnp.asarray(plan.hind).reshape(-1)
+    xgq = jnp.take(q, hind_flat, axis=0, mode="clip")
+    scg = jnp.take(scale[:, 0], hind_flat, axis=0, mode="clip").reshape(
+        plan.total_blocks, 1, block_w
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_chunks, plan.total_blocks),
+        in_specs=[
+            pl.BlockSpec((1, words, block_w), lambda c, b, wob: (b, 0, 0)),
+            pl.BlockSpec((block_w, block_d), lambda c, b, wob: (b, c)),
+            pl.BlockSpec((1, 1, block_w), lambda c, b, wob: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_h, block_d), lambda c, b, wob: (wob[b], c)
+        ),
+    )
+    out = pl.pallas_call(
+        functools.partial(_quant_kernel, block_h=block_h),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((plan.padded_nodes, d_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(jnp.asarray(plan.window_of_block), jnp.asarray(plan.bitmask), xgq, scg)
+
+    if plan.has_empty_windows:
+        bpw = jnp.diff(jnp.asarray(plan.block_ptr))
+        nonempty = jnp.repeat(
+            bpw > 0, plan.config.block_h, total_repeat_length=plan.padded_nodes
+        )
+        out = jnp.where(nonempty[:, None], out, 0.0)
+    return out[:n, :d].astype(out_dtype)

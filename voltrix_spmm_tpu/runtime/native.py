@@ -122,6 +122,9 @@ def native_preprocess(
     assert rc == 0, f"analyze_windows failed with code {rc}"
 
     blocks_per_window = -(-(win_unique.astype(np.int64) * seg) // K)
+    if config.block_unroll > 1:
+        u = config.block_unroll
+        blocks_per_window = -(-blocks_per_window // u) * u
     block_ptr = np.zeros(num_windows + 1, dtype=np.int64)
     np.cumsum(blocks_per_window, out=block_ptr[1:])
     total_blocks = int(block_ptr[-1])

@@ -29,6 +29,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+from ..format.hybrid import HybridPlan
 from ..format.plan import PlanConfig, SpmmPlan
 from ..format.preprocess import csr_preprocess
 from ..project import const
@@ -37,13 +38,14 @@ from ..utils import device_loop_bench, env_flag
 
 @dataclass(frozen=True)
 class Variant:
-    impl: str  # "pregather" | "fused"
+    impl: str  # "pregather" | "fused" | "hybrid" | "int8"
     block_h: int = 128
     block_w: int = 128
     gather_segment: int = 1
     block_d: int | None = None
     compute_dtype: str = "float32"  # "float32" | "bfloat16"
     precision: str | None = None
+    threshold: int | None = None  # hybrid: min neighbors per dense run
 
     @property
     def plan_config(self) -> PlanConfig:
@@ -53,6 +55,7 @@ class Variant:
         return (
             f"{self.impl}/h{self.block_h}w{self.block_w}s{self.gather_segment}"
             f"/d{self.block_d}/{self.compute_dtype}/{self.precision}"
+            f"/t{self.threshold}"
         )
 
 
@@ -64,16 +67,15 @@ def default_space(accurate: bool = False) -> list[Variant]:
     join the space.
     """
     space = [
-        Variant("pregather", block_h=128),
         Variant("pregather", block_h=512),
         Variant("pregather", block_h=1024),
         Variant("fused", block_h=128, gather_segment=8),
-        Variant("fused", block_h=256, gather_segment=8),
+        Variant("hybrid", block_h=128, gather_segment=8),
     ]
     if not accurate:
         space += [
-            Variant("pregather", block_h=512, compute_dtype="bfloat16"),
-            Variant("fused", block_h=128, gather_segment=8, compute_dtype="bfloat16"),
+            Variant("pregather", block_h=1024, compute_dtype="bfloat16"),
+            Variant("hybrid", block_h=128, gather_segment=8, compute_dtype="bfloat16"),
         ]
     return space
 
@@ -91,10 +93,15 @@ class TunedSpmm:
         return _run_variant(self.variant, self.plan, feat)
 
 
-def _run_variant(variant: Variant, plan: SpmmPlan, feat):
+def _run_variant(variant: Variant, plan, feat):
     import jax.numpy as jnp
 
-    from ..ops import spmm_pallas, spmm_pallas_fused
+    from ..ops import (
+        spmm_pallas,
+        spmm_pallas_fused,
+        spmm_pallas_hybrid,
+        spmm_pallas_int8,
+    )
 
     kwargs = dict(
         block_d=variant.block_d,
@@ -103,6 +110,10 @@ def _run_variant(variant: Variant, plan: SpmmPlan, feat):
     )
     if variant.impl == "fused":
         return spmm_pallas_fused(plan, feat, **kwargs)
+    if variant.impl == "hybrid":
+        return spmm_pallas_hybrid(plan, feat, **kwargs)
+    if variant.impl == "int8":
+        return spmm_pallas_int8(plan, feat, block_d=variant.block_d)
     assert variant.impl == "pregather", variant.impl
     return spmm_pallas(plan, feat, **kwargs)
 
@@ -177,9 +188,28 @@ class SpmmTuner:
                 print(f"voltrix_tpu tune: memory hit for {signature}")
             return self._mem[signature]
 
-        plans: dict[PlanConfig, SpmmPlan] = {}
+        plans: dict = {}
 
-        def plan_for(cfg: PlanConfig) -> SpmmPlan:
+        def plan_for_variant(variant: Variant):
+            cfg = variant.plan_config
+            if variant.impl == "hybrid":
+                key = ("hybrid", cfg, variant.threshold)
+                if key not in plans:
+                    from ..format.hybrid import csr_preprocess_hybrid
+
+                    hp = csr_preprocess_hybrid(
+                        indptr,
+                        indices,
+                        num_nodes,
+                        dense_config=cfg,
+                        threshold=variant.threshold,
+                        backend=backend,
+                    )
+                    plans[key] = HybridPlan(
+                        hp.dense.device(), hp.sparse.device(),
+                        hp.num_nodes, hp.num_edges,
+                    )
+                return plans[key]
             if cfg not in plans:
                 plans[cfg] = csr_preprocess(
                     indptr, indices, num_nodes, cfg, backend=backend
@@ -194,7 +224,7 @@ class SpmmTuner:
                 entry = json.load(f)
             variant = Variant(**entry["variant"])
             tuned = TunedSpmm(
-                plan=plan_for(variant.plan_config),
+                plan=plan_for_variant(variant),
                 variant=variant,
                 time_ms=entry["time_ms"],
                 candidates=entry.get("candidates", {}),
@@ -209,7 +239,7 @@ class SpmmTuner:
         best: tuple[float, Variant, SpmmPlan] | None = None
         for variant in space:
             try:
-                plan = plan_for(variant.plan_config)
+                plan = plan_for_variant(variant)
                 t = device_loop_bench(
                     lambda c, p, v=variant: _run_variant(v, p, c),
                     feat,

@@ -113,21 +113,21 @@ def device_loop_bench(
     device sits behind an async RPC relay where `block_until_ready`
     semantics are weak.
     """
-    import functools
-
     import jax.numpy as jnp
     from jax import lax
 
-    @functools.partial(jax.jit, static_argnames="n_iter")
+    # n_iter is traced (dynamic while-loop bound) so BOTH loop lengths
+    # share one compilation — compile time matters when autotuning many
+    # variants over a slow remote-compile link.
+    @jax.jit
     def run(c0, rest, n_iter):
         def body(_, c):
             out = step_fn(c, *rest)
             return c + (1e-38 * out).astype(c.dtype)
 
-        return jnp.sum(lax.fori_loop(0, n_iter, body, c0))
+        return jnp.sum(lax.fori_loop(0, n_iter, body, c0, unroll=False))
 
-    float(run(carry, args, iters))  # compile
-    float(run(carry, args, 2 * iters))  # compile
+    float(run(carry, args, iters))  # compile + warm
 
     best = float("inf")
     for _ in range(trials):
