@@ -53,6 +53,41 @@ def test_sharded_gcn_forward_matches_single(rng):
     np.testing.assert_allclose(out_sharded, out_single, rtol=1e-4, atol=1e-3)
 
 
+def test_row_sharded_spmm_matches_single(rng):
+    from jax.sharding import Mesh
+    from voltrix_spmm_tpu.parallel import build_row_sharded_plan, row_sharded_spmm
+    from voltrix_spmm_tpu.ops import spmm_scipy
+
+    n, d, ndev = 700, 64, 4  # n not divisible by ndev*block_h -> padding
+    a = sp.random(n, n, density=0.03, format="csr", random_state=rng)
+    feat = rng.standard_normal((n, d)).astype(np.float32)
+    oracle = spmm_scipy(a.indptr, a.indices, n, feat)
+
+    plan = build_row_sharded_plan(a.indptr, a.indices, n, ndev, CFG)
+    mesh = Mesh(np.asarray(jax.devices()[:ndev]), ("data",))
+    x_pad = np.zeros((plan.num_nodes, d), np.float32)
+    x_pad[:n] = feat
+    out = np.asarray(row_sharded_spmm(plan, jnp.asarray(x_pad), mesh))
+    np.testing.assert_allclose(out[:n], oracle, rtol=1e-5, atol=1e-4)
+    assert np.abs(out[n:]).max() == 0.0
+
+
+def test_rectangular_plan(rng):
+    # rows != cols: 100 output rows gathering from 300 source rows
+    from voltrix_spmm_tpu.format import csr_preprocess
+    from voltrix_spmm_tpu.ops import spmm_pallas
+
+    rows, cols_n, d = 100, 300, 32
+    dense = (rng.random((rows, cols_n)) < 0.05).astype(np.float32)
+    csr = sp.csr_matrix(dense)
+    plan = csr_preprocess(
+        csr.indptr, csr.indices, rows, CFG, num_cols=cols_n
+    )
+    x = rng.standard_normal((cols_n, d)).astype(np.float32)
+    out = np.asarray(spmm_pallas(plan, jnp.asarray(x)))
+    np.testing.assert_allclose(out, dense @ x, rtol=1e-5, atol=1e-4)
+
+
 def test_sharded_train_step_runs_and_learns(rng):
     n, d, h, c, b = 128, 16, 32, 3, 4
     a = sp.random(n, n, density=0.05, format="csr", random_state=rng)

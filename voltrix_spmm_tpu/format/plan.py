@@ -88,6 +88,9 @@ class SpmmPlan:
     num_windows: int
     total_blocks: int
     has_empty_windows: bool = False  # any window with zero blocks
+    # rectangular support: source-node (column) space size; None = square.
+    # Row-sharded execution uses shard rows x global columns.
+    num_cols: int | None = None
 
     def tree_flatten(self):
         children = (self.bitmask, self.hind, self.window_of_block, self.block_ptr)
@@ -98,6 +101,7 @@ class SpmmPlan:
             self.num_windows,
             self.total_blocks,
             self.has_empty_windows,
+            self.num_cols,
         )
         return children, aux
 
@@ -109,6 +113,11 @@ class SpmmPlan:
     @property
     def padded_nodes(self) -> int:
         return self.num_windows * self.config.block_h
+
+    @property
+    def source_rows(self) -> int:
+        """Rows of X this plan gathers from (column space of A)."""
+        return self.num_cols if self.num_cols is not None else self.num_nodes
 
     @property
     def gather_rows(self) -> int:

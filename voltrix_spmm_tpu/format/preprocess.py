@@ -35,6 +35,7 @@ def csr_preprocess(
     num_nodes: int,
     config: PlanConfig = PlanConfig(),
     backend: str = "auto",
+    num_cols: int | None = None,
 ) -> SpmmPlan:
     """Build an `SpmmPlan` from CSR adjacency (binary values implied).
 
@@ -63,9 +64,9 @@ def csr_preprocess(
     if backend == "native":
         from ..runtime import native_preprocess
 
-        return native_preprocess(indptr, indices, num_nodes, config)
+        return native_preprocess(indptr, indices, num_nodes, config, num_cols)
     assert backend == "numpy", f"unknown backend {backend!r}"
-    return _numpy_preprocess(indptr, indices, num_nodes, config)
+    return _numpy_preprocess(indptr, indices, num_nodes, config, num_cols)
 
 
 def _numpy_preprocess(
@@ -73,7 +74,9 @@ def _numpy_preprocess(
     indices: np.ndarray,
     num_nodes: int,
     config: PlanConfig,
+    num_cols: int | None = None,
 ) -> SpmmPlan:
+    span = num_cols if num_cols is not None else num_nodes
     W, K = config.block_h, config.block_w
     words = config.words_per_col
     num_windows = max(_cdiv(num_nodes, W), 1)
@@ -86,10 +89,10 @@ def _numpy_preprocess(
     # (the reference dedups per-window columns at bmat_kernels.cuh:248-262;
     # duplicate *edges* would corrupt its hspa the same way they would our
     # bitmask, so canonicalize here).
-    edge_key = rows * num_nodes + cols
+    edge_key = rows * span + cols
     edge_key = np.unique(edge_key)
-    rows = edge_key // num_nodes
-    cols = edge_key % num_nodes
+    rows = edge_key // span
+    cols = edge_key % span
     nnz = int(rows.shape[0])
 
     if nnz == 0:
@@ -104,11 +107,12 @@ def _numpy_preprocess(
             num_windows=num_windows,
             total_blocks=0,
             has_empty_windows=True,
+            num_cols=num_cols,
         )
 
     win = rows // W
     seg = config.gather_segment
-    num_segs_total = _cdiv(num_nodes, seg)
+    num_segs_total = _cdiv(span, seg)
     # Sorted-unique (window, col-segment): at seg=1 this is exactly the
     # window-local sort + dedup + compressed-column numbering of the
     # reference (bmat_kernels.cuh:290-307 edgeToColumn construction); at
@@ -179,6 +183,7 @@ def _numpy_preprocess(
         num_windows=num_windows,
         total_blocks=total_blocks,
         has_empty_windows=bool((blocks_per_window == 0).any()),
+        num_cols=num_cols,
     )
 
 

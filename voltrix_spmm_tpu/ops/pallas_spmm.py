@@ -112,10 +112,11 @@ def spmm_pallas(
     precision="highest" gives near-exact fp32 at ~3x MXU passes.
     """
     n, d = feat.shape
-    assert n == plan.num_nodes, (n, plan.num_nodes)
+    assert n == plan.source_rows, (n, plan.source_rows)
+    out_rows = plan.num_nodes
     out_dtype = feat.dtype
     if plan.total_blocks == 0:
-        return jnp.zeros((n, d), out_dtype)
+        return jnp.zeros((out_rows, d), out_dtype)
 
     cfg = plan.config
     block_h, block_w, words = cfg.block_h, cfg.block_w, cfg.words_per_col
@@ -191,4 +192,4 @@ def spmm_pallas(
         )
         out = jnp.where(nonempty[:, None], out, 0.0)
 
-    return out[:n, :d].astype(out_dtype)
+    return out[:out_rows, :d].astype(out_dtype)

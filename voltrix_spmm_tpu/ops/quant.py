@@ -67,10 +67,11 @@ def spmm_pallas_int8(
 ) -> jax.Array:
     """out = A @ feat with the gathered feature stream quantized to int8."""
     n, d = feat.shape
-    assert n == plan.num_nodes
+    assert n == plan.source_rows, (n, plan.source_rows)
+    out_rows = plan.num_nodes
     out_dtype = feat.dtype
     if plan.total_blocks == 0:
-        return jnp.zeros((n, d), out_dtype)
+        return jnp.zeros((out_rows, d), out_dtype)
 
     cfg = plan.config
     block_h, block_w, words = cfg.block_h, cfg.block_w, cfg.words_per_col
@@ -121,4 +122,4 @@ def spmm_pallas_int8(
             bpw > 0, plan.config.block_h, total_repeat_length=plan.padded_nodes
         )
         out = jnp.where(nonempty[:, None], out, 0.0)
-    return out[:n, :d].astype(out_dtype)
+    return out[:out_rows, :d].astype(out_dtype)

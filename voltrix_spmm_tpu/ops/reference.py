@@ -24,10 +24,10 @@ def spmm_reference(plan: SpmmPlan, feat: jax.Array) -> jax.Array:
     use on small/medium problems only.
     """
     n, d = feat.shape
-    assert n == plan.num_nodes
+    assert n == plan.source_rows, (n, plan.source_rows)
     out_dtype = feat.dtype
     if plan.total_blocks == 0:
-        return jnp.zeros((n, d), out_dtype)
+        return jnp.zeros((plan.num_nodes, d), out_dtype)
     cfg = plan.config
     hind_flat = jnp.asarray(plan.hind).reshape(-1)
     xg = jnp.take(feat, hind_flat, axis=0, mode="clip").reshape(
@@ -44,7 +44,7 @@ def spmm_reference(plan: SpmmPlan, feat: jax.Array) -> jax.Array:
         jnp.asarray(plan.window_of_block),
         num_segments=plan.num_windows,
     )
-    return out.reshape(plan.padded_nodes, d)[:n].astype(out_dtype)
+    return out.reshape(plan.padded_nodes, d)[: plan.num_nodes].astype(out_dtype)
 
 
 def spmm_scipy(indptr, indices, num_nodes: int, feat: np.ndarray) -> np.ndarray:

@@ -5,6 +5,11 @@ from .sharded import (
     make_sharded_train_step,
     gcn_param_specs,
 )
+from .row_sharded import (
+    RowShardedPlan,
+    build_row_sharded_plan,
+    row_sharded_spmm,
+)
 
 __all__ = [
     "make_mesh",
@@ -12,4 +17,7 @@ __all__ = [
     "sharded_gcn_forward",
     "make_sharded_train_step",
     "gcn_param_specs",
+    "RowShardedPlan",
+    "build_row_sharded_plan",
+    "row_sharded_spmm",
 ]

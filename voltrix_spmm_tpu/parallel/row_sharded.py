@@ -1,0 +1,191 @@
+"""Row-sharded (graph-partitioned) SpMM across a device mesh.
+
+The reference is single-GPU; SURVEY.md §5 sketches the TPU scale-out:
+partition A's *row windows* across devices (each device owns a
+contiguous node range and its adjacency rows), keep X row-sharded, and
+`all_gather` X over ICI before the local SpMM — the one collective a
+partitioned binary SpMM needs. Output rows stay sharded (each device
+produces its own node range), so a GNN layer chain keeps activations
+sharded end to end.
+
+Per-device plans have different block counts; shard_map needs one
+program, so plans are built per shard and *stacked with padding* to the
+max block count (padding blocks carry zero bits — the same trick as
+`block_unroll` padding).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..format.plan import PlanConfig, SpmmPlan
+from ..format.preprocess import csr_preprocess
+from ..ops.pallas_spmm import spmm_pallas
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class RowShardedPlan:
+    # stacked per-device plan arrays, leading dim = devices
+    bitmask: object  # (ndev, tb_max, words, K)
+    hind: object  # (ndev, tb_max, K)
+    window_of_block: object  # (ndev, tb_max)
+    block_ptr: object  # (ndev, windows_per_shard + 1)
+    config: PlanConfig
+    num_nodes: int  # global (padded to ndev * shard_rows)
+    shard_rows: int  # nodes per device
+    tb_max: int
+    ndev: int
+
+    def tree_flatten(self):
+        children = (self.bitmask, self.hind, self.window_of_block, self.block_ptr)
+        aux = (
+            self.config,
+            self.num_nodes,
+            self.shard_rows,
+            self.tb_max,
+            self.ndev,
+        )
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+def build_row_sharded_plan(
+    indptr,
+    indices,
+    num_nodes: int,
+    ndev: int,
+    config: PlanConfig = PlanConfig(128, 128),
+    backend: str = "auto",
+) -> RowShardedPlan:
+    """Partition rows into `ndev` contiguous shards and build one padded
+    plan per shard. Columns (neighbor ids) stay global."""
+    indptr = np.asarray(indptr, dtype=np.int64)
+    indices = np.asarray(indices, dtype=np.int64)
+    W = config.block_h
+    shard_rows = -(-num_nodes // (ndev * W)) * W  # window-aligned
+    n_pad = shard_rows * ndev
+
+    plans: list[SpmmPlan] = []
+    for dev in range(ndev):
+        r0 = min(dev * shard_rows, num_nodes)
+        r1 = min(r0 + shard_rows, num_nodes)
+        local_ptr = np.zeros(shard_rows + 1, dtype=np.int64)
+        seg = indptr[r0 : r1 + 1] - indptr[r0]
+        local_ptr[: seg.shape[0]] = seg
+        local_ptr[seg.shape[0] :] = seg[-1] if seg.shape[0] else 0
+        local_idx = indices[indptr[r0] : indptr[r1]]
+        # local CSR over shard_rows rows; columns remain GLOBAL node ids
+        # (they index the all-gathered X). num_nodes for dedup keying must
+        # cover the global id space.
+        plan = _preprocess_local(
+            local_ptr, local_idx, shard_rows, num_nodes, config, backend
+        )
+        plans.append(plan)
+
+    tb_max = max(max(p.total_blocks for p in plans), 1)
+    words, K = config.words_per_col, config.block_w
+
+    def pad_stack(getter, shape_tail, dtype):
+        out = np.zeros((ndev, tb_max, *shape_tail), dtype=dtype)
+        for i, p in enumerate(plans):
+            arr = np.asarray(getter(p))
+            out[i, : arr.shape[0]] = arr
+        return out
+
+    bitmask = pad_stack(lambda p: p.bitmask, (words, K), np.uint32)
+    hind = pad_stack(lambda p: p.hind, (K,), np.int32)
+    # padding blocks attach to the last window (zero bits -> no effect)
+    wob = np.zeros((ndev, tb_max), dtype=np.int32)
+    for i, p in enumerate(plans):
+        w = np.asarray(p.window_of_block)
+        wob[i, : w.shape[0]] = w
+        wob[i, w.shape[0] :] = p.num_windows - 1
+    bptr = np.stack(
+        [
+            np.concatenate(
+                [
+                    np.asarray(p.block_ptr)[:-1],
+                    np.array([tb_max], dtype=np.int32),
+                ]
+            )
+            for p in plans
+        ]
+    ).astype(np.int32)
+
+    return RowShardedPlan(
+        bitmask=bitmask,
+        hind=hind,
+        window_of_block=wob,
+        block_ptr=bptr,
+        config=config,
+        num_nodes=n_pad,
+        shard_rows=shard_rows,
+        tb_max=tb_max,
+        ndev=ndev,
+    )
+
+
+def _preprocess_local(local_ptr, local_idx, shard_rows, global_nodes, config, backend):
+    # rectangular preprocessing: shard_rows output rows x global columns
+    return csr_preprocess(
+        local_ptr,
+        local_idx,
+        shard_rows,
+        config,
+        backend=backend,
+        num_cols=global_nodes,
+    )
+
+
+def row_sharded_spmm(
+    plan: RowShardedPlan, feat: jax.Array, mesh: Mesh, axis: str = "data"
+) -> jax.Array:
+    """feat: (num_nodes, D) row-sharded over `axis`; returns out with the
+    same row sharding. One all_gather of X rides the ICI; the SpMM
+    itself is local."""
+    n, d = feat.shape
+    assert n == plan.num_nodes, (n, plan.num_nodes)
+    cfg = plan.config
+
+    def local_fn(bm, hi, wob, bptr, x_local):
+        x_full = jax.lax.all_gather(x_local[0], axis, tiled=True)
+        local_plan = SpmmPlan(
+            bitmask=bm[0],
+            hind=hi[0],
+            window_of_block=wob[0],
+            block_ptr=bptr[0],
+            config=cfg,
+            num_nodes=plan.shard_rows,
+            num_edges=0,
+            num_windows=plan.shard_rows // cfg.block_h,
+            total_blocks=plan.tb_max,
+            has_empty_windows=True,  # padded tails may be empty; mask them
+            num_cols=x_full.shape[0],
+        )
+        out = spmm_pallas(local_plan, x_full)[: plan.shard_rows]
+        return out[None]
+
+    f = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    bm = jnp.asarray(plan.bitmask)
+    hi = jnp.asarray(plan.hind)
+    wob = jnp.asarray(plan.window_of_block)
+    bptr = jnp.asarray(plan.block_ptr)
+    xr = feat.reshape(plan.ndev, plan.shard_rows, d)
+    out = f(bm, hi, wob, bptr, xr)
+    return out.reshape(plan.num_nodes, d)

@@ -91,6 +91,7 @@ def native_preprocess(
     indices,
     num_nodes: int,
     config: PlanConfig,
+    num_cols: int | None = None,
 ) -> SpmmPlan:
     analyze, fill = _build_kernels()
     W, K, words = config.block_h, config.block_w, config.words_per_col
@@ -113,6 +114,7 @@ def native_preprocess(
             num_windows=num_windows,
             total_blocks=0,
             has_empty_windows=True,
+            num_cols=num_cols,
         )
 
     seg = config.gather_segment
@@ -163,4 +165,5 @@ def native_preprocess(
         num_windows=num_windows,
         total_blocks=total_blocks,
         has_empty_windows=bool((blocks_per_window == 0).any()),
+        num_cols=num_cols,
     )
