@@ -81,7 +81,7 @@ def test_invalid_candidate_skipped(problem, tmp_path):
     )
     assert tuned.variant.impl == "pregather"
     assert (
-        tuned.candidates["fused/h32w128s1/dNone/float32/None/tNone"]
+        tuned.candidates["fused/h32w128s1u1/dNone/float32/None/tNone"]
         == float("inf")
     )
 

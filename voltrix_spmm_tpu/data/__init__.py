@@ -1,3 +1,17 @@
-from .generate import erdos_renyi_csr, rmat_csr, reorder_rcm, symmetrize
+from .generate import (
+    erdos_renyi_csr,
+    rmat_csr,
+    reorder_rcm,
+    symmetrize,
+    save_npz_graph,
+    load_npz_graph,
+)
 
-__all__ = ["erdos_renyi_csr", "rmat_csr", "reorder_rcm", "symmetrize"]
+__all__ = [
+    "erdos_renyi_csr",
+    "rmat_csr",
+    "reorder_rcm",
+    "symmetrize",
+    "save_npz_graph",
+    "load_npz_graph",
+]

@@ -64,6 +64,28 @@ def symmetrize(a: sp.csr_matrix) -> sp.csr_matrix:
     return s
 
 
+def save_npz_graph(path: str, a: sp.csr_matrix) -> str:
+    """Persist a graph in the bench .npz protocol (indptr/indices/
+    num_nodes/nnz) — the stand-in for the reference's CSV dump protocol
+    (bench/graph_gen.py:60-121)."""
+    np.savez_compressed(
+        path,
+        indptr=a.indptr.astype(np.int32),
+        indices=a.indices.astype(np.int32),
+        num_nodes=np.int64(a.shape[0]),
+        nnz=np.int64(a.nnz),
+    )
+    return path
+
+
+def load_npz_graph(path: str) -> sp.csr_matrix:
+    z = np.load(path)
+    return sp.csr_matrix(
+        (np.ones(int(z["nnz"]), np.float32), z["indices"], z["indptr"]),
+        shape=(int(z["num_nodes"]), int(z["num_nodes"])),
+    )
+
+
 def reorder_rcm(a: sp.csr_matrix) -> tuple[sp.csr_matrix, np.ndarray]:
     """Reverse Cuthill-McKee reorder; returns (reordered csr, permutation)."""
     from scipy.sparse.csgraph import reverse_cuthill_mckee

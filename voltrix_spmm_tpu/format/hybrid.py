@@ -75,7 +75,10 @@ def csr_preprocess_hybrid(
     assert seg >= 2, "hybrid needs a coverage dense_config (gather_segment>1)"
     if sparse_config is None:
         sparse_config = PlanConfig(
-            max(dense_config.block_h, 512), dense_config.block_w, 1
+            max(dense_config.block_h, 512),
+            dense_config.block_w,
+            1,
+            block_unroll=4,
         )
     assert sparse_config.gather_segment == 1
     if threshold is None:

@@ -46,16 +46,19 @@ class Variant:
     compute_dtype: str = "float32"  # "float32" | "bfloat16"
     precision: str | None = None
     threshold: int | None = None  # hybrid: min neighbors per dense run
+    block_unroll: int = 1
 
     @property
     def plan_config(self) -> PlanConfig:
-        return PlanConfig(self.block_h, self.block_w, self.gather_segment)
+        return PlanConfig(
+            self.block_h, self.block_w, self.gather_segment, self.block_unroll
+        )
 
     def key(self) -> str:
         return (
             f"{self.impl}/h{self.block_h}w{self.block_w}s{self.gather_segment}"
-            f"/d{self.block_d}/{self.compute_dtype}/{self.precision}"
-            f"/t{self.threshold}"
+            f"u{self.block_unroll}/d{self.block_d}/{self.compute_dtype}"
+            f"/{self.precision}/t{self.threshold}"
         )
 
 
@@ -67,15 +70,20 @@ def default_space(accurate: bool = False) -> list[Variant]:
     join the space.
     """
     space = [
-        Variant("pregather", block_h=512),
-        Variant("pregather", block_h=1024),
+        Variant("pregather", block_h=512, block_unroll=4),
+        Variant("pregather", block_h=1024, block_unroll=4),
         Variant("fused", block_h=128, gather_segment=8),
         Variant("hybrid", block_h=128, gather_segment=8),
     ]
     if not accurate:
         space += [
-            Variant("pregather", block_h=1024, compute_dtype="bfloat16"),
-            Variant("hybrid", block_h=128, gather_segment=8, compute_dtype="bfloat16"),
+            Variant(
+                "pregather",
+                block_h=1024,
+                block_unroll=4,
+                compute_dtype="bfloat16",
+            ),
+            Variant("int8", block_h=1024, block_unroll=4),
         ]
     return space
 
