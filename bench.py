@@ -59,8 +59,9 @@ def main():
     # against fp32 BCOO stays apples-to-apples (int8 is reported in
     # bench/bench_all.py, not the headline).
     space = [
-        Variant("pregather", block_h=1024, block_unroll=4),
         Variant("pregather", block_h=1024, block_unroll=4, compute_dtype="bfloat16"),
+        Variant("pregather", block_h=2048, block_unroll=4),
+        Variant("pregather", block_h=2048, block_unroll=4, compute_dtype="bfloat16"),
     ]
     tuned = tune_spmm(
         a.indptr, a.indices, n, feat_np, space=space,

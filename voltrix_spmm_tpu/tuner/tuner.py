@@ -72,6 +72,7 @@ def default_space(accurate: bool = False) -> list[Variant]:
     space = [
         Variant("pregather", block_h=512, block_unroll=4),
         Variant("pregather", block_h=1024, block_unroll=4),
+        Variant("pregather", block_h=2048, block_unroll=4),
         Variant("fused", block_h=128, gather_segment=8),
         Variant("hybrid", block_h=128, gather_segment=8),
     ]
@@ -79,7 +80,7 @@ def default_space(accurate: bool = False) -> list[Variant]:
         space += [
             Variant(
                 "pregather",
-                block_h=1024,
+                block_h=2048,
                 block_unroll=4,
                 compute_dtype="bfloat16",
             ),
