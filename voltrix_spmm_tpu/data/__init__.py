@@ -2,6 +2,9 @@ from .generate import (
     erdos_renyi_csr,
     rmat_csr,
     reorder_rcm,
+    reorder_degree,
+    reorder_auto,
+    window_gather_volume,
     symmetrize,
     save_npz_graph,
     load_npz_graph,
@@ -11,6 +14,9 @@ __all__ = [
     "erdos_renyi_csr",
     "rmat_csr",
     "reorder_rcm",
+    "reorder_degree",
+    "reorder_auto",
+    "window_gather_volume",
     "symmetrize",
     "save_npz_graph",
     "load_npz_graph",
