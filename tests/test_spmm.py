@@ -140,6 +140,17 @@ def test_spmm_empty_windows(rng, impl):
     assert np.abs(out[:96]).max() == 0.0
 
 
+@pytest.mark.parametrize("unroll", [1, 2])
+def test_spmm_subtiled_matches_scipy(rng, unroll):
+    n, d = 700, 96
+    a, feat, oracle = make_problem(rng, n, 0.02, d)
+    plan = csr_preprocess(
+        a.indptr, a.indices, n, PlanConfig(256, 128, block_unroll=unroll)
+    )
+    out = np.asarray(spmm_pallas(plan, jnp.asarray(feat), subtile=True))
+    np.testing.assert_allclose(out, oracle, rtol=1e-5, atol=1e-4)
+
+
 def test_spmm_hybrid_matches_scipy(rng):
     from voltrix_spmm_tpu.format import csr_preprocess_hybrid, hybrid_stats
 

@@ -95,6 +95,66 @@ def _spmm_block_kernel(
         out_ref[...] += contrib
 
 
+def _spmm_subtiled_kernel(
+    wob_ref,  # scalar-prefetch: int32 (num_groups,)
+    occ_ref,  # scalar-prefetch: int32 (total_blocks,) sub-window bitmap
+    bitmask_ref,  # (unroll, words, K) uint32
+    xg_ref,  # (unroll * K, block_d)
+    out_ref,  # (block_h, block_d) float32
+    *,
+    block_h: int,
+    block_w: int,
+    compute_dtype,
+    precision,
+    unroll: int,
+):
+    """Tall-window variant that skips empty 128-row sub-tiles.
+
+    At tall windows the mask is extremely sparse (<1% of slots) and
+    locality-ordered graphs cluster each block's bits into few 128-row
+    sub-windows; a per-(block, sub-window) occupancy bitmap lets the MXU
+    skip the empty (128, K) @ (K, D) sub-products entirely — the TPU
+    answer to wasted tensor-core tiles."""
+    b = pl.program_id(1)
+    w = wob_ref[b]
+    prev_w = wob_ref[jnp.maximum(b - 1, 0)]
+    is_first = jnp.logical_or(b == 0, prev_w != w)
+
+    @pl.when(is_first)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    nsub = block_h // 128
+    for u in range(unroll):
+        occ = occ_ref[b * unroll + u]
+        for s in range(nsub):
+            @pl.when((occ >> s) & 1 != 0)
+            def _(u=u, s=s):
+                mask = expand_bitmask(
+                    bitmask_ref[u, s * 4 : (s + 1) * 4], 128, compute_dtype
+                )
+                xg_u = xg_ref[u * block_w : (u + 1) * block_w].astype(
+                    compute_dtype
+                )
+                out_ref[s * 128 : (s + 1) * 128, :] += jnp.dot(
+                    mask,
+                    xg_u,
+                    preferred_element_type=jnp.float32,
+                    precision=precision,
+                )
+
+
+def _subtile_occupancy(bitmask, unroll: int):
+    """(TB, words, K) -> int32 (TB,) bit s set iff sub-window s (128
+    rows = 4 words) of the block has any bit."""
+    tb, words, _ = bitmask.shape
+    nsub = words // 4
+    any_word = (bitmask != 0).any(axis=2)  # (TB, words)
+    any_sub = any_word.reshape(tb, nsub, 4).any(axis=2)  # (TB, nsub)
+    weights = (1 << jnp.arange(nsub, dtype=jnp.int32))[None, :]
+    return jnp.sum(any_sub.astype(jnp.int32) * weights, axis=1, dtype=jnp.int32)
+
+
 def spmm_pallas(
     plan: SpmmPlan,
     feat: jax.Array,
@@ -102,6 +162,7 @@ def spmm_pallas(
     block_d: int | None = None,
     compute_dtype=jnp.float32,
     precision=None,
+    subtile: bool = False,
     interpret: bool | None = None,
 ) -> jax.Array:
     """out[N, D] = A[N, N] @ feat[N, D] via the binned block-CSR plan.
@@ -141,35 +202,63 @@ def spmm_pallas(
     assert plan.total_blocks % unroll == 0, (plan.total_blocks, unroll)
     num_groups = plan.total_blocks // unroll
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(num_chunks, num_groups),
-        in_specs=[
-            pl.BlockSpec(
-                (unroll, words, block_w), lambda c, b, wob: (b, 0, 0)
+    if subtile:
+        assert block_h % 128 == 0, "subtile needs block_h % 128 == 0"
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(num_chunks, num_groups),
+            in_specs=[
+                pl.BlockSpec(
+                    (unroll, words, block_w), lambda c, b, *_: (b, 0, 0)
+                ),
+                pl.BlockSpec(
+                    (unroll * block_w, block_d), lambda c, b, *_: (b, c)
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (block_h, block_d), lambda c, b, wob, occ: (wob[b], c)
             ),
-            pl.BlockSpec(
-                (unroll * block_w, block_d), lambda c, b, wob: (b, c)
+        )
+        kernel = functools.partial(
+            _spmm_subtiled_kernel,
+            block_h=block_h,
+            block_w=block_w,
+            compute_dtype=compute_dtype,
+            precision=precision,
+            unroll=unroll,
+        )
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(num_chunks, num_groups),
+            in_specs=[
+                pl.BlockSpec(
+                    (unroll, words, block_w), lambda c, b, wob: (b, 0, 0)
+                ),
+                pl.BlockSpec(
+                    (unroll * block_w, block_d), lambda c, b, wob: (b, c)
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (block_h, block_d), lambda c, b, wob: (wob[b], c)
             ),
-        ],
-        out_specs=pl.BlockSpec(
-            (block_h, block_d), lambda c, b, wob: (wob[b], c)
-        ),
-    )
-
-    kernel = functools.partial(
-        _spmm_block_kernel,
-        block_h=block_h,
-        compute_dtype=compute_dtype,
-        precision=precision,
-        unroll=unroll,
-    )
+        )
+        kernel = functools.partial(
+            _spmm_block_kernel,
+            block_h=block_h,
+            compute_dtype=compute_dtype,
+            precision=precision,
+            unroll=unroll,
+        )
     flops = 2 * plan.total_blocks * block_h * block_w * d_pad
     bytes_accessed = (
         xg.size * xg.dtype.itemsize
         + plan.total_blocks * words * block_w * 4
         + plan.padded_nodes * d_pad * 4
     )
+    scalar_args = [jnp.asarray(plan.window_of_block)[::unroll]]
+    if subtile:
+        scalar_args.append(_subtile_occupancy(jnp.asarray(plan.bitmask), unroll))
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -181,7 +270,7 @@ def spmm_pallas(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
         ),
         interpret=interpret,
-    )(jnp.asarray(plan.window_of_block)[::unroll], jnp.asarray(plan.bitmask), xg)
+    )(*scalar_args, jnp.asarray(plan.bitmask), xg)
 
     # Windows with zero blocks are never visited by the grid, leaving
     # their output tiles uninitialized — zero them explicitly.

@@ -47,6 +47,7 @@ class Variant:
     precision: str | None = None
     threshold: int | None = None  # hybrid: min neighbors per dense run
     block_unroll: int = 1
+    subtile: bool = False  # pregather: skip empty 128-row sub-tiles
 
     @property
     def plan_config(self) -> PlanConfig:
@@ -57,7 +58,8 @@ class Variant:
     def key(self) -> str:
         return (
             f"{self.impl}/h{self.block_h}w{self.block_w}s{self.gather_segment}"
-            f"u{self.block_unroll}/d{self.block_d}/{self.compute_dtype}"
+            f"u{self.block_unroll}{'st' if self.subtile else ''}"
+            f"/d{self.block_d}/{self.compute_dtype}"
             f"/{self.precision}/t{self.threshold}"
         )
 
@@ -73,6 +75,7 @@ def default_space(accurate: bool = False) -> list[Variant]:
         Variant("pregather", block_h=512, block_unroll=4),
         Variant("pregather", block_h=1024, block_unroll=4),
         Variant("pregather", block_h=2048, block_unroll=4),
+        Variant("pregather", block_h=2048, block_unroll=4, subtile=True),
         Variant("fused", block_h=128, gather_segment=8),
         Variant("hybrid", block_h=128, gather_segment=8),
     ]
@@ -124,7 +127,7 @@ def _run_variant(variant: Variant, plan, feat):
     if variant.impl == "int8":
         return spmm_pallas_int8(plan, feat, block_d=variant.block_d)
     assert variant.impl == "pregather", variant.impl
-    return spmm_pallas(plan, feat, **kwargs)
+    return spmm_pallas(plan, feat, subtile=variant.subtile, **kwargs)
 
 
 def _matrix_hash(indptr, indices, num_nodes: int) -> str:
