@@ -35,21 +35,28 @@ def methods_registry():
     )
     from voltrix_spmm_tpu.tuner import tune_spmm
 
+    # NOTE: each method returns (fn, plan); when plan is not None the
+    # bench passes it to fn as a traced ARGUMENT — closing plans over
+    # jit embeds them as constants and blows the remote-compile request
+    # size (HTTP 413) on large graphs.
     def voltrix_tuned(a, feat):
         tuned = tune_spmm(a.indptr, a.indices, a.shape[0], feat)
-        return tuned, tuned.plan
+        from voltrix_spmm_tpu.tuner.tuner import _run_variant
+
+        return (lambda x, p, v=tuned.variant: _run_variant(v, p, x)), tuned.plan
 
     def voltrix_pregather(a, feat):
         plan = csr_preprocess(
-            a.indptr, a.indices, a.shape[0], PlanConfig(512, 128, 1)
+            a.indptr, a.indices, a.shape[0],
+            PlanConfig(1024, 128, 1, block_unroll=4),
         ).device()
-        return (lambda x: spmm_pallas(plan, x)), plan
+        return (lambda x, p: spmm_pallas(p, x)), plan
 
     def voltrix_fused(a, feat):
         plan = csr_preprocess(
             a.indptr, a.indices, a.shape[0], PlanConfig(128, 128, 8)
         ).device()
-        return (lambda x: spmm_pallas_fused(plan, x)), plan
+        return (lambda x, p: spmm_pallas_fused(p, x)), plan
 
     def bcoo(a, feat):
         return make_bcoo_spmm(a), None
@@ -80,6 +87,8 @@ def run(args):
     dims = [int(x) for x in args.dims.split(",")]
     rows = []
     for name in args.datasets.split(","):
+        # write partial results as we go so a crash keeps earlier rows
+        _flush(args.out_dir, rows)
         path = os.path.join(args.data_dir, f"{name}.reorder.npz")
         if not os.path.exists(path):
             os.makedirs(args.data_dir, exist_ok=True)
@@ -93,13 +102,15 @@ def run(args):
             oracle = spmm_scipy(a.indptr, a.indices, n, feat_np)
             for method in methods:
                 try:
-                    fn, _ = registry[method](a, feat_np)
-                    out = np.asarray(fn(feat))
+                    fn, plan = registry[method](a, feat_np)
+                    rest = () if plan is None else (plan,)
+                    out = np.asarray(fn(feat, *rest))
                     diff = calc_diff(out, oracle)
                     assert diff < 1e-4, f"accuracy failure: {diff}"
                     t = device_loop_bench(
-                        lambda c, fn=fn: fn(c),
+                        lambda c, *r, fn=fn: fn(c, *r),
                         feat,
+                        *rest,
                         iters=args.iters,
                         trials=2,
                     )
@@ -112,13 +123,27 @@ def run(args):
                     f"(diff {diff * 100:.4f}%)"
                 )
                 rows.append([name, method, d, round(t, 4)])
+        # free device-resident plans and executables between datasets —
+        # the tuner's memory cache pins plans in HBM and the sweep
+        # otherwise exhausts device memory by the last dataset
+        import jax
 
-    out_csv = os.path.join(args.out_dir, "results.csv")
+        from voltrix_spmm_tpu.tuner.tuner import spmm_tuner
+
+        spmm_tuner._mem.clear()
+        jax.clear_caches()
+
+    out_csv = _flush(args.out_dir, rows)
+    print(f"results -> {out_csv}")
+
+
+def _flush(out_dir, rows):
+    out_csv = os.path.join(out_dir, "results.csv")
     with open(out_csv, "w", newline="") as f:
         w = csv.writer(f)
         w.writerow(["dataset", "method", "featdim", "time_ms"])
         w.writerows(rows)
-    print(f"results -> {out_csv}")
+    return out_csv
 
 
 if __name__ == "__main__":

@@ -107,8 +107,12 @@ def build(name: str, arg_defs, code: str) -> Runtime:
     so_tmp = os.path.join(path, "kernel.so.tmp")
     so_path = os.path.join(path, "kernel.so")
     cmd = [compiler, *flags, "-o", so_tmp, os.path.join(path, "kernel.cpp")]
-    if os.environ.get(const.PRINT_CXX_COMMAND_FLAG, "0") == "1":
+    debug = os.environ.get(const.DEBUG_FLAG, "0") == "1"
+    if debug or os.environ.get(const.PRINT_CXX_COMMAND_FLAG, "0") == "1":
         print("voltrix_tpu jit:", " ".join(cmd))
+    if debug:
+        print(f"voltrix_tpu jit: cache dir {path}")
+        print(f"voltrix_tpu jit: source\n{code}")
     result = subprocess.run(cmd, capture_output=True, text=True)
     if result.returncode != 0:
         raise RuntimeError(
