@@ -72,6 +72,44 @@ def test_row_sharded_spmm_matches_single(rng):
     assert np.abs(out[n:]).max() == 0.0
 
 
+def test_row_sharded_gcn_training(rng):
+    from jax.sharding import Mesh
+    from voltrix_spmm_tpu.models import init_gcn
+    from voltrix_spmm_tpu.parallel import (
+        build_row_sharded_plan,
+        make_row_sharded_train_step,
+    )
+
+    n, d, hidden, classes, ndev = 512, 16, 32, 4, 4
+    # planted partition so the loss genuinely decreases
+    comm = n // classes
+    rows = rng.integers(0, n, size=n * 6)
+    cols = (rows // comm) * comm + rng.integers(0, comm, size=rows.shape[0])
+    a = sp.csr_matrix((np.ones(rows.shape[0]), (rows, cols)), shape=(n, n))
+    a = ((a + a.T) != 0).astype(np.float32).tocsr()
+
+    plan = build_row_sharded_plan(
+        a.indptr, a.indices, n, ndev, CFG, with_transpose=True
+    )
+    mesh = Mesh(np.asarray(jax.devices()[:ndev]), ("data",))
+    n_pad = plan.num_nodes
+    deg = np.maximum(np.asarray(a.sum(1)).ravel(), 1.0)
+    inv_deg = np.zeros(n_pad, np.float32)
+    inv_deg[:n] = 1.0 / deg
+    x = np.zeros((n_pad, d), np.float32)
+    x[:n] = rng.standard_normal((n, d))
+    y = np.full(n_pad, -100, np.int32)  # pad rows excluded from loss
+    y[:n] = np.arange(n) // comm
+
+    params = init_gcn(jax.random.PRNGKey(0), d, hidden, classes)
+    step = make_row_sharded_train_step(plan, mesh, inv_deg, lr=5e-2)
+    params, loss0 = step(params, jnp.asarray(x), jnp.asarray(y))
+    for _ in range(15):
+        params, loss = step(params, jnp.asarray(x), jnp.asarray(y))
+    assert np.isfinite(float(loss))
+    assert float(loss) < float(loss0)
+
+
 def test_rectangular_plan(rng):
     # rows != cols: 100 output rows gathering from 300 source rows
     from voltrix_spmm_tpu.format import csr_preprocess

@@ -119,7 +119,9 @@ def window_gather_volume(a: sp.csr_matrix, block_h: int = 1024) -> int:
 
 
 def reorder_auto(
-    a: sp.csr_matrix, block_h: int = 1024
+    a: sp.csr_matrix,
+    block_h: int = 1024,
+    candidates: tuple[str, ...] = ("rcm",),
 ) -> tuple[sp.csr_matrix, np.ndarray, str]:
     """Pick the ordering (identity / RCM / degree) that minimizes window
     gather volume — the role the reference delegates to Rabbit
@@ -131,9 +133,10 @@ def reorder_auto(
     slower end-to-end). For final selection, time candidates with the
     autotuner; this picker is for cheap preprocessing-time decisions."""
     n = a.shape[0]
+    fns = {"rcm": reorder_rcm, "degree": reorder_degree}
     best = (window_gather_volume(a, block_h), a, np.arange(n), "identity")
-    for name, fn in (("rcm", reorder_rcm), ("degree", reorder_degree)):
-        a2, perm = fn(a)
+    for name in candidates:
+        a2, perm = fns[name](a)
         vol = window_gather_volume(a2, block_h)
         if vol < best[0]:
             best = (vol, a2, perm, name)

@@ -10,6 +10,7 @@ from .row_sharded import (
     build_row_sharded_plan,
     row_sharded_spmm,
 )
+from .row_sharded_gcn import make_row_sharded_train_step
 
 __all__ = [
     "make_mesh",
@@ -20,4 +21,5 @@ __all__ = [
     "RowShardedPlan",
     "build_row_sharded_plan",
     "row_sharded_spmm",
+    "make_row_sharded_train_step",
 ]

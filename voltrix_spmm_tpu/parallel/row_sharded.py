@@ -42,56 +42,49 @@ class RowShardedPlan:
     shard_rows: int  # nodes per device
     tb_max: int
     ndev: int
+    # transpose plans (A[rows_s, :]^T per shard) for training: backward
+    # of the local SpMM is another SpMM with these (see spmm_ad)
+    bitmask_t: object = None  # (ndev, tbt_max, words, K)
+    hind_t: object = None  # (ndev, tbt_max, K)
+    window_of_block_t: object = None  # (ndev, tbt_max)
+    block_ptr_t: object = None  # (ndev, global_windows + 1)
+    tbt_max: int = 0
 
     def tree_flatten(self):
-        children = (self.bitmask, self.hind, self.window_of_block, self.block_ptr)
+        children = (
+            self.bitmask,
+            self.hind,
+            self.window_of_block,
+            self.block_ptr,
+            self.bitmask_t,
+            self.hind_t,
+            self.window_of_block_t,
+            self.block_ptr_t,
+        )
         aux = (
             self.config,
             self.num_nodes,
             self.shard_rows,
             self.tb_max,
             self.ndev,
+            self.tbt_max,
         )
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, *aux)
-
-
-def build_row_sharded_plan(
-    indptr,
-    indices,
-    num_nodes: int,
-    ndev: int,
-    config: PlanConfig = PlanConfig(128, 128),
-    backend: str = "auto",
-) -> RowShardedPlan:
-    """Partition rows into `ndev` contiguous shards and build one padded
-    plan per shard. Columns (neighbor ids) stay global."""
-    indptr = np.asarray(indptr, dtype=np.int64)
-    indices = np.asarray(indices, dtype=np.int64)
-    W = config.block_h
-    shard_rows = -(-num_nodes // (ndev * W)) * W  # window-aligned
-    n_pad = shard_rows * ndev
-
-    plans: list[SpmmPlan] = []
-    for dev in range(ndev):
-        r0 = min(dev * shard_rows, num_nodes)
-        r1 = min(r0 + shard_rows, num_nodes)
-        local_ptr = np.zeros(shard_rows + 1, dtype=np.int64)
-        seg = indptr[r0 : r1 + 1] - indptr[r0]
-        local_ptr[: seg.shape[0]] = seg
-        local_ptr[seg.shape[0] :] = seg[-1] if seg.shape[0] else 0
-        local_idx = indices[indptr[r0] : indptr[r1]]
-        # local CSR over shard_rows rows; columns remain GLOBAL node ids
-        # (they index the all-gathered X). num_nodes for dedup keying must
-        # cover the global id space.
-        plan = _preprocess_local(
-            local_ptr, local_idx, shard_rows, num_nodes, config, backend
+        (bm, hi, wob, bp, bmt, hit, wobt, bpt) = children
+        cfg, num_nodes, shard_rows, tb_max, ndev, tbt_max = aux
+        return cls(
+            bm, hi, wob, bp, cfg, num_nodes, shard_rows, tb_max, ndev,
+            bmt, hit, wobt, bpt, tbt_max,
         )
-        plans.append(plan)
 
+
+def _pad_stack_plans(plans, config, ndev):
+    """Stack per-shard SpmmPlans into one SPMD set, padded to the max
+    block count (padding blocks carry zero bits and attach to the last
+    window)."""
     tb_max = max(max(p.total_blocks for p in plans), 1)
     words, K = config.words_per_col, config.block_w
 
@@ -104,7 +97,6 @@ def build_row_sharded_plan(
 
     bitmask = pad_stack(lambda p: p.bitmask, (words, K), np.uint32)
     hind = pad_stack(lambda p: p.hind, (K,), np.int32)
-    # padding blocks attach to the last window (zero bits -> no effect)
     wob = np.zeros((ndev, tb_max), dtype=np.int32)
     for i, p in enumerate(plans):
         w = np.asarray(p.window_of_block)
@@ -121,8 +113,72 @@ def build_row_sharded_plan(
             for p in plans
         ]
     ).astype(np.int32)
+    return bitmask, hind, wob, bptr, tb_max
 
-    return RowShardedPlan(
+
+def build_row_sharded_plan(
+    indptr,
+    indices,
+    num_nodes: int,
+    ndev: int,
+    config: PlanConfig = PlanConfig(128, 128),
+    backend: str = "auto",
+    with_transpose: bool = False,
+) -> RowShardedPlan:
+    """Partition rows into `ndev` contiguous shards and build one padded
+    plan per shard. Columns (neighbor ids) stay global.
+
+    with_transpose=True additionally builds each shard's A[rows_s,:]^T
+    plan (global rows x shard columns) — required for training (the
+    backward of the local SpMM, see parallel/row_sharded_gcn.py)."""
+    import scipy.sparse as sp
+
+    indptr = np.asarray(indptr, dtype=np.int64)
+    indices = np.asarray(indices, dtype=np.int64)
+    W = config.block_h
+    shard_rows = -(-num_nodes // (ndev * W)) * W  # window-aligned
+    n_pad = shard_rows * ndev
+
+    plans: list[SpmmPlan] = []
+    tplans: list[SpmmPlan] = []
+    for dev in range(ndev):
+        r0 = min(dev * shard_rows, num_nodes)
+        r1 = min(r0 + shard_rows, num_nodes)
+        local_ptr = np.zeros(shard_rows + 1, dtype=np.int64)
+        seg = indptr[r0 : r1 + 1] - indptr[r0]
+        local_ptr[: seg.shape[0]] = seg
+        local_ptr[seg.shape[0] :] = seg[-1] if seg.shape[0] else 0
+        local_idx = indices[indptr[r0] : indptr[r1]]
+        # local CSR over shard_rows rows; columns remain GLOBAL node ids
+        # (they index the all-gathered X). num_nodes for dedup keying must
+        # cover the global id space.
+        plan = _preprocess_local(
+            local_ptr, local_idx, shard_rows, num_nodes, config, backend
+        )
+        plans.append(plan)
+        if with_transpose:
+            a_s = sp.csr_matrix(
+                (
+                    np.ones(local_idx.shape[0], np.float32),
+                    local_idx,
+                    local_ptr,
+                ),
+                shape=(shard_rows, n_pad),
+            )
+            at = a_s.T.tocsr()  # (n_pad, shard_rows)
+            tplans.append(
+                csr_preprocess(
+                    at.indptr,
+                    at.indices,
+                    n_pad,
+                    config,
+                    backend=backend,
+                    num_cols=shard_rows,
+                )
+            )
+
+    bitmask, hind, wob, bptr, tb_max = _pad_stack_plans(plans, config, ndev)
+    out = RowShardedPlan(
         bitmask=bitmask,
         hind=hind,
         window_of_block=wob,
@@ -133,6 +189,12 @@ def build_row_sharded_plan(
         tb_max=tb_max,
         ndev=ndev,
     )
+    if with_transpose:
+        bmt, hit, wobt, bptrt, tbt_max = _pad_stack_plans(tplans, config, ndev)
+        out.bitmask_t, out.hind_t = bmt, hit
+        out.window_of_block_t, out.block_ptr_t = wobt, bptrt
+        out.tbt_max = tbt_max
+    return out
 
 
 def _preprocess_local(local_ptr, local_idx, shard_rows, global_nodes, config, backend):
