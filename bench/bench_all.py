@@ -62,6 +62,10 @@ def methods_registry():
         return make_bcoo_spmm(a), None
 
     def xla_gather(a, feat):
+        # edge-parallel gather materializes (nnz, d) — skip when that
+        # intermediate alone would exhaust HBM (observed at 4.1M x 512)
+        if a.nnz * feat.shape[1] * 4 > 4 * 2**30:
+            raise RuntimeError("skipped: (nnz, d) intermediate exceeds HBM budget")
         return make_gather_segment_spmm(a), None
 
     return {
@@ -123,6 +127,7 @@ def run(args):
                     f"(diff {diff * 100:.4f}%)"
                 )
                 rows.append([name, method, d, round(t, 4)])
+                del fn, plan, rest
         # free device-resident plans and executables between datasets —
         # the tuner's memory cache pins plans in HBM and the sweep
         # otherwise exhausts device memory by the last dataset
@@ -132,6 +137,10 @@ def run(args):
 
         spmm_tuner._mem.clear()
         jax.clear_caches()
+        import gc
+
+        del feat, oracle, feat_np
+        gc.collect()
 
     out_csv = _flush(args.out_dir, rows)
     print(f"results -> {out_csv}")
