@@ -75,7 +75,6 @@ def default_space(accurate: bool = False) -> list[Variant]:
         Variant("pregather", block_h=512, block_unroll=4),
         Variant("pregather", block_h=1024, block_unroll=4),
         Variant("pregather", block_h=2048, block_unroll=4),
-        Variant("pregather", block_h=2048, block_unroll=4, subtile=True),
         Variant("fused", block_h=128, gather_segment=8),
         Variant("hybrid", block_h=128, gather_segment=8),
     ]
