@@ -97,3 +97,26 @@ def test_gcn_forward_batched(rng):
     params = init_gcn(jax.random.PRNGKey(0), 24, 16, 3)
     out = gcn_forward(params, g, x)
     assert out.shape == (2, n, 3)
+
+
+def test_gin_forward_and_grad(rng):
+    import optax
+    from voltrix_spmm_tpu.models import gin_forward, init_gin
+
+    a, g = small_graph(rng)
+    n = a.shape[0]
+    x = jnp.asarray(rng.standard_normal((n, 24)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, 5, size=(n,)))
+    params = init_gin(jax.random.PRNGKey(3), 24, 32, 5)
+    out = gin_forward(params, g, x)
+    assert out.shape == (n, 5)
+    assert np.isfinite(np.asarray(out)).all()
+
+    def loss_fn(p):
+        return optax.softmax_cross_entropy_with_integer_labels(
+            gin_forward(p, g, x), y
+        ).mean()
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    assert all(np.isfinite(np.asarray(v)).all() for v in jax.tree.leaves(grads))
