@@ -35,7 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..format.plan import SpmmPlan
 from .bitmask import expand_bitmask
-from .pallas_spmm import _cdiv, _interpret_default, _round_up
+from .pallas_spmm import _interpret_default, _round_up
 
 
 def _fused_kernel(

@@ -21,8 +21,7 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..format.plan import SpmmPlan
-from ..ops.pallas_spmm import spmm_pallas
-from .row_sharded import RowShardedPlan, build_row_sharded_plan
+from .row_sharded import RowShardedPlan
 
 
 def _local_aggregate(plan: RowShardedPlan, shard, x_local, axis):
