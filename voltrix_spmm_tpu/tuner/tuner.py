@@ -258,6 +258,15 @@ class SpmmTuner:
                     iters=iters,
                     trials=2,
                 )
+                if t < 0.5:  # sub-ms kernels: dispatch jitter dominates,
+                    # re-time with a longer loop for a stable ranking
+                    t = device_loop_bench(
+                        lambda c, p, v=variant: _run_variant(v, p, c),
+                        feat,
+                        plan,
+                        iters=max(iters * 8, 64),
+                        trials=2,
+                    )
             except Exception as e:  # invalid candidate -> skip, like the
                 # reference's nonzero-return-code filter (tuner.py:108-116)
                 if verbose:
