@@ -130,6 +130,7 @@ def device_loop_bench(
     float(run(carry, args, iters))  # compile + warm
 
     best = float("inf")
+    upper = float("inf")
     for _ in range(trials):
         t0 = time.perf_counter()
         float(run(carry, args, iters))
@@ -139,7 +140,11 @@ def device_loop_bench(
         slope = ((t2 - t1) - (t1 - t0)) / iters * 1e3
         if slope > 0:
             best = min(best, slope)
-    assert best != float("inf"), "timing produced no positive slope"
+        upper = min(upper, (t2 - t1) / (2 * iters) * 1e3)
+    if best == float("inf"):
+        # dispatch jitter swamped the slope (sub-us work): fall back to
+        # the per-iteration upper bound (includes constant overhead)
+        return max(upper, 1e-6)
     return best
 
 
