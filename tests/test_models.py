@@ -120,3 +120,14 @@ def test_gin_forward_and_grad(rng):
     loss, grads = jax.value_and_grad(loss_fn)(params)
     assert np.isfinite(float(loss))
     assert all(np.isfinite(np.asarray(v)).all() for v in jax.tree.leaves(grads))
+
+
+def test_aggregate_sym_matches_scipy(rng):
+    a, g = small_graph(rng)
+    n = a.shape[0]
+    x = rng.standard_normal((n, 24)).astype(np.float32)
+    out = np.asarray(aggregate(g, jnp.asarray(x), mode="sym"))
+    deg = np.maximum(np.asarray(a.sum(axis=1)), 1.0)
+    dinv = 1.0 / np.sqrt(deg)
+    expect = dinv * (a @ (dinv * x))
+    np.testing.assert_allclose(out, expect, rtol=1e-5, atol=1e-4)

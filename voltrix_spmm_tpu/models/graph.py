@@ -25,9 +25,10 @@ class GraphData:
     plan: SpmmPlan  # A
     plan_t: SpmmPlan  # A^T (same object for symmetric graphs)
     inv_deg: object  # float32 (N, 1): 1/max(in-degree, 1)
+    inv_sqrt_deg: object = None  # float32 (N, 1): deg^-1/2 (sym norm)
 
     def tree_flatten(self):
-        return (self.plan, self.plan_t, self.inv_deg), ()
+        return (self.plan, self.plan_t, self.inv_deg, self.inv_sqrt_deg), ()
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -68,7 +69,13 @@ def build_graph(
         plan_t = csr_preprocess(at.indptr, at.indices, num_nodes, config, backend=backend)
     deg = np.asarray(a.sum(axis=1)).reshape(num_nodes, 1)
     inv_deg = (1.0 / np.maximum(deg, 1.0)).astype(np.float32)
-    return GraphData(plan=plan, plan_t=plan_t, inv_deg=jnp.asarray(inv_deg))
+    inv_sqrt_deg = (1.0 / np.sqrt(np.maximum(deg, 1.0))).astype(np.float32)
+    return GraphData(
+        plan=plan,
+        plan_t=plan_t,
+        inv_deg=jnp.asarray(inv_deg),
+        inv_sqrt_deg=jnp.asarray(inv_sqrt_deg),
+    )
 
 
 def aggregate(g: GraphData, x: jax.Array, mode: str = "mean") -> jax.Array:
@@ -77,12 +84,21 @@ def aggregate(g: GraphData, x: jax.Array, mode: str = "mean") -> jax.Array:
     Accepts (N, D) or a graph-batched (B, N, D); the batch is folded into
     the feature axis (SpMM is linear over columns) so one kernel launch
     serves the whole batch — MXU-friendlier than vmap.
+
+    mode: "sum" (A @ x), "mean" (D^-1 A x), "sym" (D^-1/2 A D^-1/2 x,
+    the GCN-paper normalization).
     """
     if x.ndim == 3:
         b, n, d = x.shape
         flat = jnp.transpose(x, (1, 0, 2)).reshape(n, b * d)
         out = aggregate(g, flat, mode)
         return jnp.transpose(out.reshape(n, b, d), (1, 0, 2))
+    if mode == "sym":
+        # GCN-paper normalization D^-1/2 A D^-1/2 — binary SpMM composed
+        # with diagonal scalings (row/col-scaled weighted SpMM without a
+        # per-edge value plane)
+        assert g.inv_sqrt_deg is not None, "graph built without sym norm"
+        return g.inv_sqrt_deg * spmm_ad(g.plan, g.plan_t, g.inv_sqrt_deg * x)
     out = spmm_ad(g.plan, g.plan_t, x)
     if mode == "mean":
         out = g.inv_deg * out
