@@ -81,7 +81,7 @@ def test_invalid_candidate_skipped(problem, tmp_path):
     )
     assert tuned.variant.impl == "pregather"
     assert (
-        tuned.candidates["fused/h32w128s1u1/dNone/float32/None/tNone"]
+        tuned.candidates["identity|fused/h32w128s1u1/dNone/float32/None/tNone"]
         == float("inf")
     )
 
@@ -97,6 +97,33 @@ def test_hash_tag_controls_signature(problem, tmp_path):
     assert len(entries) == 1
     payload = json.load(open(os.path.join(tmp_path, entries[0])))
     assert "variant" in payload and "candidates" in payload
+
+
+def test_reordering_selection(problem, tmp_path):
+    a, feat, oracle = problem
+    tuner = SpmmTuner(cache_dir=str(tmp_path))
+    tuned = tuner.compile_and_tune(
+        a.indptr, a.indices, a.shape[0], feat,
+        space=tiny_space()[:1], iters=1,
+        reorderings=("identity", "rcm", "degree"),
+    )
+    # 3 orderings x 1 variant raced
+    assert len(tuned.candidates) == 3
+    assert tuned.ordering in ("identity", "rcm", "degree")
+    import jax.numpy as jnp
+
+    out = np.asarray(tuned(jnp.asarray(feat)))
+    np.testing.assert_allclose(out, oracle, rtol=1e-5, atol=1e-4)
+    # disk reload preserves the ordering and still computes correctly
+    fresh = SpmmTuner(cache_dir=str(tmp_path))
+    t2 = fresh.compile_and_tune(
+        a.indptr, a.indices, a.shape[0], feat,
+        space=tiny_space()[:1], iters=1,
+        reorderings=("identity", "rcm", "degree"),
+    )
+    assert t2.ordering == tuned.ordering
+    out2 = np.asarray(t2(jnp.asarray(feat)))
+    np.testing.assert_allclose(out2, oracle, rtol=1e-5, atol=1e-4)
 
 
 def test_default_space_shapes():

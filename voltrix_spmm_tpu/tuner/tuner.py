@@ -93,18 +93,53 @@ def default_space(accurate: bool = False) -> list[Variant]:
 
 @dataclass
 class TunedSpmm:
-    """Best (plan, kernel) pair for one matrix — call it like `spmm`."""
+    """Best (plan, kernel, ordering) for one matrix — call it like `spmm`.
+
+    When an ordering other than "identity" won, `perm`/`inv_perm` hold
+    the row permutation and `__call__` applies it transparently:
+    out = (A x) reconstructed from spmm(A_perm, x[perm])[inv_perm]."""
 
     plan: SpmmPlan
     variant: Variant
     time_ms: float
     candidates: dict = field(default_factory=dict)
+    ordering: str = "identity"
+    perm: object = None  # int32 (N,) device array, None for identity
+    inv_perm: object = None
 
     def __call__(self, feat):
-        return _run_variant(self.variant, self.plan, feat)
+        return _run_variant(
+            self.variant, self.plan, feat, self.perm, self.inv_perm
+        )
 
 
-def _run_variant(variant: Variant, plan, feat):
+_REORDER_FNS = None
+
+
+def _reorder(name: str, indptr, indices, num_nodes: int):
+    """Returns (indptr2, indices2, perm|None) for a named ordering."""
+    global _REORDER_FNS
+    if _REORDER_FNS is None:
+        from ..data.generate import reorder_degree, reorder_rcm
+
+        _REORDER_FNS = {"rcm": reorder_rcm, "degree": reorder_degree}
+    if name == "identity":
+        return indptr, indices, None
+    import scipy.sparse as sp
+
+    a = sp.csr_matrix(
+        (
+            np.ones(np.asarray(indices).shape[0], np.float32),
+            np.asarray(indices),
+            np.asarray(indptr),
+        ),
+        shape=(num_nodes, num_nodes),
+    )
+    a2, perm = _REORDER_FNS[name](a)
+    return a2.indptr, a2.indices, np.asarray(perm, np.int32)
+
+
+def _run_variant(variant: Variant, plan, feat, perm=None, inv_perm=None):
     import jax.numpy as jnp
 
     from ..ops import (
@@ -114,19 +149,25 @@ def _run_variant(variant: Variant, plan, feat):
         spmm_pallas_int8,
     )
 
+    if perm is not None:
+        feat = jnp.take(feat, perm, axis=0, mode="clip")
     kwargs = dict(
         block_d=variant.block_d,
         compute_dtype=jnp.dtype(variant.compute_dtype),
         precision=variant.precision,
     )
     if variant.impl == "fused":
-        return spmm_pallas_fused(plan, feat, **kwargs)
-    if variant.impl == "hybrid":
-        return spmm_pallas_hybrid(plan, feat, **kwargs)
-    if variant.impl == "int8":
-        return spmm_pallas_int8(plan, feat, block_d=variant.block_d)
-    assert variant.impl == "pregather", variant.impl
-    return spmm_pallas(plan, feat, subtile=variant.subtile, **kwargs)
+        out = spmm_pallas_fused(plan, feat, **kwargs)
+    elif variant.impl == "hybrid":
+        out = spmm_pallas_hybrid(plan, feat, **kwargs)
+    elif variant.impl == "int8":
+        out = spmm_pallas_int8(plan, feat, block_d=variant.block_d)
+    else:
+        assert variant.impl == "pregather", variant.impl
+        out = spmm_pallas(plan, feat, subtile=variant.subtile, **kwargs)
+    if inv_perm is not None:
+        out = jnp.take(out, inv_perm, axis=0, mode="clip")
+    return out
 
 
 def _matrix_hash(indptr, indices, num_nodes: int) -> str:
@@ -177,10 +218,17 @@ class SpmmTuner:
         hash_tag: str | None = None,
         iters: int = 8,
         backend: str = "auto",
+        reorderings: tuple[str, ...] = ("identity",),
     ) -> TunedSpmm:
-        """Pick the fastest variant for this (matrix, feature-shape) pair.
+        """Pick the fastest (variant, ordering) for this (matrix,
+        feature-shape) pair.
 
         `feat` is a representative feature array (shape/dtype matter).
+        reorderings: orderings to race by MEASURED time (e.g.
+        ("identity", "rcm", "degree")); a non-identity winner is applied
+        transparently inside the returned TunedSpmm (input rows permuted,
+        output rows restored). Gather-volume proxies provably misrank
+        orderings, so this is the honest selector.
         """
         import jax.numpy as jnp
 
@@ -200,17 +248,26 @@ class SpmmTuner:
             return self._mem[signature]
 
         plans: dict = {}
+        csrs: dict = {"identity": (indptr, indices, None)}
 
-        def plan_for_variant(variant: Variant):
+        def csr_for(ordering: str):
+            if ordering not in csrs:
+                csrs[ordering] = _reorder(ordering, indptr, indices, num_nodes)
+            return csrs[ordering]
+
+        def plan_for_variant(variant: Variant, ordering: str = "identity"):
+            import jax
+
+            ptr, idx, _ = csr_for(ordering)
             cfg = variant.plan_config
             if variant.impl == "hybrid":
-                key = ("hybrid", cfg, variant.threshold)
+                key = (ordering, "hybrid", cfg, variant.threshold)
                 if key not in plans:
                     from ..format.hybrid import csr_preprocess_hybrid
 
                     hp = csr_preprocess_hybrid(
-                        indptr,
-                        indices,
+                        ptr,
+                        idx,
                         num_nodes,
                         dense_config=cfg,
                         threshold=variant.threshold,
@@ -221,11 +278,22 @@ class SpmmTuner:
                         hp.num_nodes, hp.num_edges,
                     )
                 return plans[key]
-            if cfg not in plans:
-                plans[cfg] = csr_preprocess(
-                    indptr, indices, num_nodes, cfg, backend=backend
+            key = (ordering, cfg)
+            if key not in plans:
+                plans[key] = csr_preprocess(
+                    ptr, idx, num_nodes, cfg, backend=backend
                 ).device()
-            return plans[cfg]
+            return plans[key]
+
+        def perm_arrays(ordering: str):
+            import jax.numpy as jnp
+
+            _, _, perm = csr_for(ordering)
+            if perm is None:
+                return None, None
+            inv = np.empty_like(perm)
+            inv[perm] = np.arange(perm.shape[0], dtype=np.int32)
+            return jnp.asarray(perm), jnp.asarray(inv)
 
         # on-disk hit: re-instantiate the recorded winner (plan rebuilt
         # from the matrix; cheap relative to tuning every variant)
@@ -234,11 +302,16 @@ class SpmmTuner:
             with open(disk) as f:
                 entry = json.load(f)
             variant = Variant(**entry["variant"])
+            ordering = entry.get("ordering", "identity")
+            perm, inv_perm = perm_arrays(ordering)
             tuned = TunedSpmm(
-                plan=plan_for_variant(variant),
+                plan=plan_for_variant(variant, ordering),
                 variant=variant,
                 time_ms=entry["time_ms"],
                 candidates=entry.get("candidates", {}),
+                ordering=ordering,
+                perm=perm,
+                inv_perm=inv_perm,
             )
             self._mem[signature] = tuned
             if verbose:
@@ -247,41 +320,60 @@ class SpmmTuner:
 
         feat = jnp.asarray(feat)
         results: dict[str, float] = {}
-        best: tuple[float, Variant, SpmmPlan] | None = None
-        for variant in space:
-            try:
-                plan = plan_for_variant(variant)
-                t = device_loop_bench(
-                    lambda c, p, v=variant: _run_variant(v, p, c),
-                    feat,
-                    plan,
-                    iters=iters,
-                    trials=2,
-                )
-                if t < 0.5:  # sub-ms kernels: dispatch jitter dominates,
-                    # re-time with a longer loop for a stable ranking
-                    t = device_loop_bench(
-                        lambda c, p, v=variant: _run_variant(v, p, c),
-                        feat,
-                        plan,
-                        iters=max(iters * 8, 64),
-                        trials=2,
-                    )
-            except Exception as e:  # invalid candidate -> skip, like the
-                # reference's nonzero-return-code filter (tuner.py:108-116)
+        best = None  # (time, variant, plan, ordering, perm, inv_perm)
+        for ordering in reorderings:
+            for variant in space:
+                key = f"{ordering}|{variant.key()}"
+                try:
+                    plan = plan_for_variant(variant, ordering)
+                    perm, inv_perm = perm_arrays(ordering)
+
+                    def run_once(n_iters):
+                        if perm is None:
+                            return device_loop_bench(
+                                lambda c, p, v=variant: _run_variant(v, p, c),
+                                feat,
+                                plan,
+                                iters=n_iters,
+                                trials=2,
+                            )
+                        return device_loop_bench(
+                            lambda c, p, pe, ip, v=variant: _run_variant(
+                                v, p, c, pe, ip
+                            ),
+                            feat,
+                            plan,
+                            perm,
+                            inv_perm,
+                            iters=n_iters,
+                            trials=2,
+                        )
+
+                    t = run_once(iters)
+                    if t < 0.5:  # sub-ms: dispatch jitter dominates,
+                        # re-time with a longer loop for a stable ranking
+                        t = run_once(max(iters * 8, 64))
+                except Exception as e:  # invalid candidate -> skip, like
+                    # the reference's return-code filter (tuner.py:108-116)
+                    if verbose:
+                        print(f"voltrix_tpu tune: {key} invalid: {e}")
+                    results[key] = float("inf")
+                    continue
+                results[key] = t
                 if verbose:
-                    print(f"voltrix_tpu tune: {variant.key()} invalid: {e}")
-                results[variant.key()] = float("inf")
-                continue
-            results[variant.key()] = t
-            if verbose:
-                print(f"voltrix_tpu tune: {variant.key()} -> {t:.3f} ms")
-            if best is None or t < best[0]:
-                best = (t, variant, plan)
+                    print(f"voltrix_tpu tune: {key} -> {t:.3f} ms")
+                if best is None or t < best[0]:
+                    best = (t, variant, plan, ordering, perm, inv_perm)
 
         assert best is not None, "no valid tuning candidate"
         tuned = TunedSpmm(
-            plan=best[2], variant=best[1], time_ms=best[0], candidates=results
+            plan=best[2],
+            variant=best[1],
+            time_ms=best[0],
+            candidates=results,
+            ordering=best[3],
+            perm=best[4],
+            inv_perm=best[5],
         )
         self._mem[signature] = tuned
 
@@ -291,6 +383,7 @@ class SpmmTuner:
             json.dump(
                 {
                     "variant": dataclasses.asdict(best[1]),
+                    "ordering": best[3],
                     "time_ms": best[0],
                     "candidates": results,
                 },
