@@ -141,3 +141,65 @@ def test_sharded_train_step_runs_and_learns(rng):
         params, loss = step(params, g, x, y)
     assert float(loss) < float(loss0)
     assert np.isfinite(float(loss))
+
+
+def test_balanced_row_sharding(rng):
+    from jax.sharding import Mesh
+    from voltrix_spmm_tpu.parallel import build_row_sharded_plan, row_sharded_spmm
+    from voltrix_spmm_tpu.ops import spmm_scipy
+
+    # heavily skewed: first 30 rows are hubs
+    n, d, ndev = 600, 48, 4
+    dense = np.zeros((n, n), np.float32)
+    dense[:30] = (rng.random((30, n)) < 0.4)
+    dense[30:] = (rng.random((n - 30, n)) < 0.01)
+    a = sp.csr_matrix(dense)
+    feat = rng.standard_normal((n, d)).astype(np.float32)
+    oracle = spmm_scipy(a.indptr, a.indices, n, feat)
+
+    unbal = build_row_sharded_plan(a.indptr, a.indices, n, ndev, CFG)
+    bal = build_row_sharded_plan(a.indptr, a.indices, n, ndev, CFG, balance=True)
+    # balancing shrinks the padded block count on skewed graphs
+    assert bal.tb_max < unbal.tb_max
+
+    mesh = Mesh(np.asarray(jax.devices()[:ndev]), ("data",))
+    x_pad = np.zeros((bal.num_nodes, d), np.float32)
+    x_pad[:n] = feat
+    out = np.asarray(row_sharded_spmm(bal, jnp.asarray(x_pad), mesh))
+    np.testing.assert_allclose(out[:n], oracle, rtol=1e-5, atol=1e-4)
+
+
+def test_balanced_row_sharded_training(rng):
+    from jax.sharding import Mesh
+    from voltrix_spmm_tpu.models import init_gcn
+    from voltrix_spmm_tpu.parallel import (
+        build_row_sharded_plan,
+        make_row_sharded_train_step,
+    )
+
+    n, d, hidden, classes, ndev = 384, 16, 32, 4, 4
+    comm = n // classes
+    rows = rng.integers(0, n, size=n * 6)
+    cols = (rows // comm) * comm + rng.integers(0, comm, size=rows.shape[0])
+    a = sp.csr_matrix((np.ones(rows.shape[0]), (rows, cols)), shape=(n, n))
+    a = ((a + a.T) != 0).astype(np.float32).tocsr()
+
+    plan = build_row_sharded_plan(
+        a.indptr, a.indices, n, ndev, CFG, with_transpose=True, balance=True
+    )
+    mesh = Mesh(np.asarray(jax.devices()[:ndev]), ("data",))
+    n_pad = plan.num_nodes
+    deg = np.maximum(np.asarray(a.sum(1)).ravel(), 1.0)
+    inv_deg = np.zeros(n_pad, np.float32)
+    inv_deg[:n] = 1.0 / deg
+    x = np.zeros((n_pad, d), np.float32)
+    x[:n] = rng.standard_normal((n, d))
+    y = np.full(n_pad, -100, np.int32)
+    y[:n] = np.arange(n) // comm
+
+    params = init_gcn(jax.random.PRNGKey(0), d, hidden, classes)
+    step = make_row_sharded_train_step(plan, mesh, inv_deg, lr=5e-2)
+    params, loss0 = step(params, jnp.asarray(x), jnp.asarray(y))
+    for _ in range(12):
+        params, loss = step(params, jnp.asarray(x), jnp.asarray(y))
+    assert np.isfinite(float(loss)) and float(loss) < float(loss0)

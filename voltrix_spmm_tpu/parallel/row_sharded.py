@@ -49,6 +49,9 @@ class RowShardedPlan:
     window_of_block_t: object = None  # (ndev, tbt_max)
     block_ptr_t: object = None  # (ndev, global_windows + 1)
     tbt_max: int = 0
+    # degree-balanced assignment: row_perm[k] = original row owning the
+    # k-th padded output position (None = contiguous ranges)
+    row_perm: object = None
 
     def tree_flatten(self):
         children = (
@@ -60,6 +63,7 @@ class RowShardedPlan:
             self.hind_t,
             self.window_of_block_t,
             self.block_ptr_t,
+            self.row_perm,
         )
         aux = (
             self.config,
@@ -73,11 +77,11 @@ class RowShardedPlan:
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        (bm, hi, wob, bp, bmt, hit, wobt, bpt) = children
+        (bm, hi, wob, bp, bmt, hit, wobt, bpt, rp) = children
         cfg, num_nodes, shard_rows, tb_max, ndev, tbt_max = aux
         return cls(
             bm, hi, wob, bp, cfg, num_nodes, shard_rows, tb_max, ndev,
-            bmt, hit, wobt, bpt, tbt_max,
+            bmt, hit, wobt, bpt, tbt_max, rp,
         )
 
 
@@ -124,13 +128,20 @@ def build_row_sharded_plan(
     config: PlanConfig = PlanConfig(128, 128),
     backend: str = "auto",
     with_transpose: bool = False,
+    balance: bool = False,
 ) -> RowShardedPlan:
-    """Partition rows into `ndev` contiguous shards and build one padded
-    plan per shard. Columns (neighbor ids) stay global.
+    """Partition rows into `ndev` shards and build one padded plan per
+    shard. Columns (neighbor ids) stay global.
 
     with_transpose=True additionally builds each shard's A[rows_s,:]^T
     plan (global rows x shard columns) — required for training (the
-    backward of the local SpMM, see parallel/row_sharded_gcn.py)."""
+    backward of the local SpMM, see parallel/row_sharded_gcn.py).
+
+    balance=True assigns rows round-robin by degree rank instead of
+    contiguous ranges, equalizing per-shard edge counts on skewed
+    graphs (padding to the max block count wastes far less). Only the
+    OUTPUT rows follow the permutation (recorded in `row_perm`); X and
+    column ids stay in original order."""
     import scipy.sparse as sp
 
     indptr = np.asarray(indptr, dtype=np.int64)
@@ -139,16 +150,48 @@ def build_row_sharded_plan(
     shard_rows = -(-num_nodes // (ndev * W)) * W  # window-aligned
     n_pad = shard_rows * ndev
 
+    if balance:
+        deg = np.diff(indptr)
+        order = np.argsort(-deg, kind="stable")
+        shard_rows_list = []
+        for dev in range(ndev):
+            mine = np.sort(order[dev::ndev])
+            shard_rows_list.append(mine)
+        # padding slots map to the unused padded ids [num_nodes, n_pad) so
+        # the inference scatter-back never collides with a real row
+        row_perm = np.full(n_pad, -1, dtype=np.int32)
+        for dev, mine in enumerate(shard_rows_list):
+            row_perm[dev * shard_rows : dev * shard_rows + mine.shape[0]] = mine
+        pad_slots = row_perm < 0
+        row_perm[pad_slots] = np.arange(
+            num_nodes, num_nodes + int(pad_slots.sum()), dtype=np.int32
+        )
+    else:
+        row_perm = None
+
+    a_full = sp.csr_matrix(
+        (np.ones(indices.shape[0], np.float32), indices, indptr),
+        shape=(num_nodes, num_nodes),
+    )
+
     plans: list[SpmmPlan] = []
     tplans: list[SpmmPlan] = []
     for dev in range(ndev):
-        r0 = min(dev * shard_rows, num_nodes)
-        r1 = min(r0 + shard_rows, num_nodes)
-        local_ptr = np.zeros(shard_rows + 1, dtype=np.int64)
-        seg = indptr[r0 : r1 + 1] - indptr[r0]
-        local_ptr[: seg.shape[0]] = seg
-        local_ptr[seg.shape[0] :] = seg[-1] if seg.shape[0] else 0
-        local_idx = indices[indptr[r0] : indptr[r1]]
+        if balance:
+            mine = shard_rows_list[dev]
+            a_s = a_full[mine]  # (len(mine), num_nodes) csr
+            local_ptr = np.zeros(shard_rows + 1, dtype=np.int64)
+            local_ptr[1 : mine.shape[0] + 1] = a_s.indptr[1:]
+            local_ptr[mine.shape[0] + 1 :] = a_s.indptr[-1]
+            local_idx = a_s.indices.astype(np.int64)
+        else:
+            r0 = min(dev * shard_rows, num_nodes)
+            r1 = min(r0 + shard_rows, num_nodes)
+            local_ptr = np.zeros(shard_rows + 1, dtype=np.int64)
+            seg = indptr[r0 : r1 + 1] - indptr[r0]
+            local_ptr[: seg.shape[0]] = seg
+            local_ptr[seg.shape[0] :] = seg[-1] if seg.shape[0] else 0
+            local_idx = indices[indptr[r0] : indptr[r1]]
         # local CSR over shard_rows rows; columns remain GLOBAL node ids
         # (they index the all-gathered X). num_nodes for dedup keying must
         # cover the global id space.
@@ -157,7 +200,7 @@ def build_row_sharded_plan(
         )
         plans.append(plan)
         if with_transpose:
-            a_s = sp.csr_matrix(
+            a_s2 = sp.csr_matrix(
                 (
                     np.ones(local_idx.shape[0], np.float32),
                     local_idx,
@@ -165,7 +208,7 @@ def build_row_sharded_plan(
                 ),
                 shape=(shard_rows, n_pad),
             )
-            at = a_s.T.tocsr()  # (n_pad, shard_rows)
+            at = a_s2.T.tocsr()  # (n_pad, shard_rows)
             tplans.append(
                 csr_preprocess(
                     at.indptr,
@@ -189,6 +232,7 @@ def build_row_sharded_plan(
         tb_max=tb_max,
         ndev=ndev,
     )
+    out.row_perm = row_perm
     if with_transpose:
         bmt, hit, wobt, bptrt, tbt_max = _pad_stack_plans(tplans, config, ndev)
         out.bitmask_t, out.hind_t = bmt, hit
@@ -249,5 +293,8 @@ def row_sharded_spmm(
     wob = jnp.asarray(plan.window_of_block)
     bptr = jnp.asarray(plan.block_ptr)
     xr = feat.reshape(plan.ndev, plan.shard_rows, d)
-    out = f(bm, hi, wob, bptr, xr)
-    return out.reshape(plan.num_nodes, d)
+    out = f(bm, hi, wob, bptr, xr).reshape(plan.num_nodes, d)
+    if plan.row_perm is not None:
+        # out[k] is the result for original row row_perm[k]; scatter back
+        out = jnp.zeros_like(out).at[jnp.asarray(plan.row_perm)].set(out)
+    return out

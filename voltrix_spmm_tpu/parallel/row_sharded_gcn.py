@@ -142,10 +142,21 @@ def make_row_sharded_train_step(
             plan.block_ptr_t,
         )
     )
-    invd = jnp.asarray(np.asarray(inv_deg, np.float32)).reshape(-1, 1)
+    invd = np.asarray(inv_deg, np.float32).reshape(-1)
+    if plan.row_perm is not None:
+        # degree-balanced shards: labels/normalizers follow the row
+        # assignment (x does NOT — it is source data in original order)
+        perm = np.asarray(plan.row_perm)
+        invd = invd[perm]
+        y_perm = jnp.asarray(perm)
+    else:
+        y_perm = None
+    invd = jnp.asarray(invd).reshape(-1, 1)
 
     @jax.jit
     def run(params, x, y):
+        if y_perm is not None:
+            y = jnp.take(y, y_perm, axis=0)
         return step(
             params,
             *arrays,
