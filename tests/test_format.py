@@ -157,3 +157,19 @@ def test_stats(rng):
     assert s["nnz"] == plan.num_edges
     assert 0 < s["fill_ratio"] <= 1.0
     assert s["gather_expansion"] >= plan.config.block_w / max(plan.num_edges, 1)
+
+
+def test_native_spmm_oracle_matches_scipy(rng):
+    from voltrix_spmm_tpu.runtime import native_available
+
+    if not native_available():
+        pytest.skip("no C++ toolchain")
+    from voltrix_spmm_tpu.ops import spmm_scipy
+    from voltrix_spmm_tpu.runtime import native_spmm_oracle
+
+    n, d = 800, 64
+    a = random_csr(rng, n, 0.03)
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    out = native_spmm_oracle(a.indptr, a.indices, n, x)
+    ref = spmm_scipy(a.indptr, a.indices, n, x)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-4)

@@ -95,3 +95,26 @@ inline int fill_plan(const int* indptr, const int* indices,
 }
 
 }  // namespace voltrix_tpu
+
+namespace voltrix_tpu {
+
+// Host CSR SpMM oracle: out[n, d] = A @ x with implicit 1.0 values
+// (binary adjacency, matching bmat_kernels.cuh:102-103). Plays the
+// reference's cuSPARSE-oracle role on the host for fast golden
+// validation of large problems (scipy's f64 path is ~10x slower).
+inline int csr_spmm_f32(const int* indptr, const int* indices,
+                        long long num_rows, const float* x, long long d,
+                        float* out) {
+#pragma omp parallel for schedule(dynamic, 64)
+  for (long long r = 0; r < num_rows; ++r) {
+    float* dst = out + r * d;
+    for (long long j = 0; j < d; ++j) dst[j] = 0.0f;
+    for (long long e = indptr[r]; e < indptr[r + 1]; ++e) {
+      const float* src = x + static_cast<long long>(indices[e]) * d;
+      for (long long j = 0; j < d; ++j) dst[j] += src[j];
+    }
+  }
+  return 0;
+}
+
+}  // namespace voltrix_tpu

@@ -60,6 +60,48 @@ _FILL_BODY = """
 """
 
 
+_ORACLE_ARGS = (
+    ("indptr", np.int32),
+    ("indices", np.int32),
+    ("num_rows", int),
+    ("x", np.float32),
+    ("d", int),
+    ("out", np.float32),
+)
+
+_ORACLE_BODY = """
+    __return_code = voltrix_tpu::csr_spmm_f32(
+        indptr, indices, num_rows, x, d, out);
+"""
+
+
+@functools.cache
+def _build_oracle():
+    from .. import jit
+
+    return jit.build(
+        "csr_spmm_oracle",
+        _ORACLE_ARGS,
+        jit.generate(_INCLUDES, _ORACLE_ARGS, _ORACLE_BODY),
+    )
+
+
+def native_spmm_oracle(indptr, indices, num_nodes: int, feat) -> np.ndarray:
+    """Host C++/OpenMP CSR @ feat golden oracle (binary values) —
+    the cuSPARSE-oracle role of the reference's test protocol, ~5-10x
+    faster than the scipy f64 path on large problems. Expects canonical
+    CSR (no duplicate entries; duplicates would sum, unlike the
+    binarizing scipy oracle); accumulates in f32."""
+    fn = _build_oracle()
+    indptr = np.ascontiguousarray(indptr, np.int32)
+    indices = np.ascontiguousarray(indices, np.int32)
+    feat = np.ascontiguousarray(feat, np.float32)
+    out = np.zeros((num_nodes, feat.shape[1]), np.float32)
+    rc = fn(indptr, indices, num_nodes, feat, feat.shape[1], out)
+    assert rc == 0, f"csr_spmm_f32 failed with code {rc}"
+    return out
+
+
 @functools.cache
 def _build_kernels():
     from .. import jit
