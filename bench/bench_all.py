@@ -81,7 +81,14 @@ def run(args):
     import jax.numpy as jnp
 
     from voltrix_spmm_tpu.ops import spmm_scipy
+    from voltrix_spmm_tpu.runtime import native_available, native_spmm_oracle
     from voltrix_spmm_tpu.utils import calc_diff, device_loop_bench
+
+    oracle_fn = (
+        native_spmm_oracle
+        if native_available()
+        else (lambda ip, ix, n, f: spmm_scipy(ip, ix, n, f))
+    )
 
     import graph_gen
 
@@ -103,7 +110,7 @@ def run(args):
         for d in dims:
             feat_np = rng.standard_normal((n, d)).astype(np.float32)
             feat = jnp.asarray(feat_np)
-            oracle = spmm_scipy(a.indptr, a.indices, n, feat_np)
+            oracle = oracle_fn(a.indptr, a.indices, n, feat_np)
             for method in methods:
                 try:
                     fn, plan = registry[method](a, feat_np)

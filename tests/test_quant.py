@@ -39,3 +39,18 @@ def test_spmm_int8_close_to_oracle(rng, n, density, d):
     out = np.asarray(spmm_pallas_int8(plan, jnp.asarray(feat)))
     rel = np.linalg.norm(out - oracle) / np.linalg.norm(oracle)
     assert rel < 2e-2, rel
+
+
+def test_int8_with_outliers(rng):
+    # per-row scaling must survive heavy-outlier rows (the reference's
+    # quant-test data profile, voltrix/utils.py outlier gen)
+    from voltrix_spmm_tpu.utils import gen_outlier_normal
+
+    n, d = 400, 64
+    a = sp.random(n, n, density=0.04, format="csr", random_state=rng)
+    feat = gen_outlier_normal((n, d), outlier_frac=0.02, seed=1)
+    oracle = spmm_scipy(a.indptr, a.indices, n, feat)
+    plan = csr_preprocess(a.indptr, a.indices, n, PlanConfig(32, 128))
+    out = np.asarray(spmm_pallas_int8(plan, jnp.asarray(feat)))
+    rel = np.linalg.norm(out - oracle) / np.linalg.norm(oracle)
+    assert rel < 3e-2, rel

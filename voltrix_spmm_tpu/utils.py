@@ -173,5 +173,18 @@ class DurationTimer:
         return self._elapsed_ms
 
 
+def gen_outlier_normal(
+    shape, outlier_frac: float = 0.01, outlier_scale: float = 50.0, seed: int = 0
+) -> np.ndarray:
+    """Gaussian data with a heavy-outlier fraction — the reference's
+    quantization-test data generator (voltrix/utils.py outlier Gaussian
+    gen); stresses per-row scaling in the int8 path."""
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal(shape).astype(np.float32)
+    mask = rng.random(shape) < outlier_frac
+    x = np.where(mask, x * outlier_scale, x)
+    return x
+
+
 def env_flag(name: str) -> bool:
     return os.environ.get(name, "0") not in ("", "0", "false", "False")
