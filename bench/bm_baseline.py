@@ -38,6 +38,8 @@ def main(args):
     fn = maker(a)
     out = np.asarray(fn(feat))
     diff = calc_diff(out, spmm_scipy(a.indptr, a.indices, n, feat_np))
+    # NOTE: fn closes over device arrays; keep them small enough for the
+    # remote-compile payload or pass via rest args (see bench_all.py)
     t = device_loop_bench(lambda c: fn(c), feat, iters=10)
     print(f"[{args.method}] difference rate: {diff * 100:.4f}%")
     print(f"[{args.method}] n={n} nnz={a.nnz} dim={args.dim} time: {t:.3f} ms")

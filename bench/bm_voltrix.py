@@ -29,7 +29,17 @@ def main(args):
     tuned = tune_spmm(a.indptr, a.indices, n, feat_np)
     out = np.asarray(tuned(feat))
     diff = calc_diff(out, spmm_scipy(a.indptr, a.indices, n, feat_np))
-    t = device_loop_bench(lambda c: tuned(c), feat, iters=10)
+    # pass the plan as a jit ARGUMENT — closing large plans over jit blows
+    # the remote-compile payload (HTTP 413) on big graphs
+    from voltrix_spmm_tpu.tuner.tuner import _run_variant
+
+    t = device_loop_bench(
+        lambda c, p, v=tuned.variant, pe=tuned.perm, ip=tuned.inv_perm:
+            _run_variant(v, p, c, pe, ip),
+        feat,
+        tuned.plan,
+        iters=10,
+    )
     print(f"[Voltrix] variant: {tuned.variant.key()}")
     print(f"[Voltrix] difference rate: {diff * 100:.4f}%")
     print(f"[Voltrix] n={n} nnz={a.nnz} dim={args.dim} time: {t:.3f} ms")

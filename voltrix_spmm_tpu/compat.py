@@ -47,6 +47,16 @@ def spmm_tuple(blk_offsets, hspa_packed, hind, num_nodes, num_edges, feat):
         block_h = words * 32
         blk_offsets = np.asarray(blk_offsets)
         num_windows = blk_offsets.shape[0] - 1
+        # the tuple protocol does not carry block_h; it is recovered as
+        # words*32, which is only sound when the window count agrees —
+        # sub-32 block heights (words == 1 can mean 8/16/32) would be
+        # silently mis-addressed otherwise
+        assert num_windows == -(-num_nodes // block_h), (
+            f"cannot reconstruct plan geometry: {num_windows} windows is "
+            f"inconsistent with block_h={block_h} over {num_nodes} nodes; "
+            "pass arrays produced by csr_preprocess_tuple (same process) "
+            "or use the plan-object API"
+        )
         bpw = np.diff(blk_offsets.astype(np.int64))
         plan = SpmmPlan(
             bitmask=hspa_packed,
