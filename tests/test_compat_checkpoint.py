@@ -47,6 +47,38 @@ def test_tuple_api_foreign_arrays(rng):
     np.testing.assert_allclose(out, oracle, rtol=1e-5, atol=1e-4)
 
 
+def test_tuple_api_no_registry_leak_or_crosstalk(rng):
+    """The plan rides the returned blk_offsets array itself: releasing
+    the tuple releases the plan (no unbounded registry), and a fresh
+    tuple can never pick up a *stale* plan through id() reuse (r1
+    advisor finding against the old id-keyed dict)."""
+    import gc
+    import weakref
+
+    from voltrix_spmm_tpu import compat
+
+    assert not hasattr(compat, "_PLANS")  # registry is gone
+
+    n, d = 160, 16
+    a1 = sp.random(n, n, density=0.05, format="csr", random_state=rng)
+    blk1, _, _ = csr_preprocess_tuple(a1.indptr, a1.indices, n, PlanConfig(32, 128))
+    plan_ref = weakref.ref(blk1._voltrix_plan)
+    del blk1
+    gc.collect()
+    assert plan_ref() is None, "plan must die with its blk_offsets array"
+
+    # a second, different matrix gets its own plan and correct results
+    a2 = sp.random(n, n, density=0.08, format="csr", random_state=rng)
+    feat = rng.standard_normal((n, d)).astype(np.float32)
+    blk2, hspa2, hind2 = csr_preprocess_tuple(
+        a2.indptr, a2.indices, n, PlanConfig(32, 128)
+    )
+    out = np.asarray(spmm_tuple(blk2, hspa2, hind2, n, a2.nnz, jnp.asarray(feat)))
+    np.testing.assert_allclose(
+        out, spmm_scipy(a2.indptr, a2.indices, n, feat), rtol=1e-5, atol=1e-4
+    )
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from voltrix_spmm_tpu.models import init_gcn
     from voltrix_spmm_tpu.models.checkpoint import (

@@ -203,3 +203,49 @@ def test_balanced_row_sharded_training(rng):
     for _ in range(12):
         params, loss = step(params, jnp.asarray(x), jnp.asarray(y))
     assert np.isfinite(float(loss)) and float(loss) < float(loss0)
+
+
+def test_balanced_training_matches_unbalanced(rng):
+    """Degree-balanced training computes the SAME model as contiguous
+    sharding (advisor r1: the permuted layer-1 activations used to be
+    aggregated with original-order column ids, silently scrambling layer
+    2 — loss-decreases tests cannot catch that)."""
+    from jax.sharding import Mesh
+    from voltrix_spmm_tpu.models import init_gcn
+    from voltrix_spmm_tpu.parallel import (
+        build_row_sharded_plan,
+        make_row_sharded_train_step,
+    )
+
+    n, d, hidden, classes, ndev = 320, 12, 24, 4, 4
+    # skewed degrees so balance actually permutes rows
+    dense = np.zeros((n, n), np.float32)
+    dense[:20] = rng.random((20, n)) < 0.3
+    dense[20:] = rng.random((n - 20, n)) < 0.02
+    a = sp.csr_matrix(dense)
+    a = ((a + a.T) != 0).astype(np.float32).tocsr()
+
+    mesh = Mesh(np.asarray(jax.devices()[:ndev]), ("data",))
+    params = init_gcn(jax.random.PRNGKey(1), d, hidden, classes)
+    plans = {
+        balance: build_row_sharded_plan(
+            a.indptr, a.indices, n, ndev, CFG,
+            with_transpose=True, balance=balance,
+        )
+        for balance in (False, True)
+    }
+    n_pad = plans[False].num_nodes
+    assert plans[True].num_nodes == n_pad
+    deg = np.maximum(np.asarray(a.sum(1)).ravel(), 1.0)
+    inv_deg = np.zeros(n_pad, np.float32)
+    inv_deg[:n] = 1.0 / deg
+    x = np.zeros((n_pad, d), np.float32)
+    x[:n] = rng.standard_normal((n, d))
+    y = np.full(n_pad, -100, np.int32)
+    y[:n] = np.arange(n) % classes
+    losses = {}
+    for balance, plan in plans.items():
+        step = make_row_sharded_train_step(plan, mesh, inv_deg, lr=1e-2)
+        _, loss = step(params, jnp.asarray(x), jnp.asarray(y))
+        losses[balance] = float(loss)
+    np.testing.assert_allclose(losses[True], losses[False], rtol=1e-5)

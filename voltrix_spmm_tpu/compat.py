@@ -24,22 +24,28 @@ from .ops import spmm as _spmm
 BLK_H = PlanConfig().block_h
 BLK_W = PlanConfig().block_w
 
-# plans keyed by id of the returned blk_offsets array so spmm_tuple can
-# recover metadata the tuple API doesn't carry
-_PLANS: dict[int, SpmmPlan] = {}
+class _BlkOffsets(np.ndarray):
+    """ndarray that carries its SpmmPlan, so `spmm_tuple` can recover the
+    metadata the tuple API doesn't transport. Attaching the plan to the
+    array itself (instead of a global id()-keyed registry) makes the
+    plan's lifetime exactly the array's: no unbounded growth, and a
+    recycled id() can never alias a *different* matrix's plan (r1
+    advisor finding)."""
+
+    _voltrix_plan: SpmmPlan
 
 
 def csr_preprocess_tuple(indptr, indices, num_nodes: int, config=None):
     """Returns (blk_offsets, hspa_packed, hind) like the reference."""
     plan = _csr_preprocess(indptr, indices, num_nodes, config or PlanConfig())
-    blk_offsets = np.asarray(plan.block_ptr)
-    _PLANS[id(blk_offsets)] = plan
+    blk_offsets = np.asarray(plan.block_ptr).view(_BlkOffsets)
+    blk_offsets._voltrix_plan = plan
     return blk_offsets, np.asarray(plan.bitmask), np.asarray(plan.hind)
 
 
 def spmm_tuple(blk_offsets, hspa_packed, hind, num_nodes, num_edges, feat):
     """Reference-signature SpMM (voltrix/spmm/spmm.py:92-114)."""
-    plan = _PLANS.get(id(blk_offsets))
+    plan = getattr(blk_offsets, "_voltrix_plan", None)
     if plan is None:
         # tuple arrays from elsewhere: rebuild the plan wrapper
         hspa_packed = np.asarray(hspa_packed)

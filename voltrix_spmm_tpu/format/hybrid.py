@@ -105,13 +105,18 @@ def csr_preprocess_hybrid(
             num_edges=0,
         )
 
-    # run occupancy = distinct neighbors per (window, segment)
+    # run occupancy = DISTINCT neighbor columns per (window, segment).
+    # Dedup (window, col) pairs first: a hub column referenced by many
+    # window rows is still ONE fetched column, so counting edges would
+    # misroute scattered hubs into the dense path and void the
+    # seg/threshold coverage-waste bound (r1 advisor finding).
+    nseg = -(-num_nodes // seg)
     w = rows // dense_config.block_h
-    run_key = w * (-(-num_nodes // seg)) + cols // seg
-    uniq_runs, run_inv, run_counts = np.unique(
-        run_key, return_inverse=True, return_counts=True
-    )
-    dense_edge = run_counts[run_inv] >= threshold
+    wcol = np.unique(w * num_nodes + cols)
+    run_of_wcol = (wcol // num_nodes) * nseg + (wcol % num_nodes) // seg
+    uniq_runs, distinct_cols = np.unique(run_of_wcol, return_counts=True)
+    run_key = w * nseg + cols // seg
+    dense_edge = distinct_cols[np.searchsorted(uniq_runs, run_key)] >= threshold
 
     dptr, dcols = _edges_to_csr(rows[dense_edge], cols[dense_edge], num_nodes)
     sptr, scols = _edges_to_csr(rows[~dense_edge], cols[~dense_edge], num_nodes)

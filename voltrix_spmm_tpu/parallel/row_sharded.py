@@ -139,9 +139,14 @@ def build_row_sharded_plan(
 
     balance=True assigns rows round-robin by degree rank instead of
     contiguous ranges, equalizing per-shard edge counts on skewed
-    graphs (padding to the max block count wastes far less). Only the
-    OUTPUT rows follow the permutation (recorded in `row_perm`); X and
-    column ids stay in original order."""
+    graphs (padding to the max block count wastes far less). The whole
+    plan then lives in *permuted padded-position space*: row k of the
+    stacked layout is original row `row_perm[k]`, and column ids are
+    remapped through the inverse permutation so they index the
+    all-gathered activations in that same layout. Consumers permute X
+    on entry and scatter outputs back (`row_sharded_spmm` does both;
+    the trainer keeps activations permuted end to end so layer
+    chaining needs no per-layer reshuffle)."""
     import scipy.sparse as sp
 
     indptr = np.asarray(indptr, dtype=np.int64)
@@ -166,6 +171,13 @@ def build_row_sharded_plan(
         row_perm[pad_slots] = np.arange(
             num_nodes, num_nodes + int(pad_slots.sum()), dtype=np.int32
         )
+        # inverse: padded position of each original (or pad) id — used to
+        # remap column ids so the plan is self-consistent in permuted
+        # layout (a layer's output feeds the next layer's all_gather
+        # without reshuffling; advisor r1 found the original-order column
+        # convention scrambled layer >= 2 of the balanced trainer)
+        pos_of = np.empty(n_pad, dtype=np.int64)
+        pos_of[row_perm.astype(np.int64)] = np.arange(n_pad, dtype=np.int64)
     else:
         row_perm = None
 
@@ -183,7 +195,7 @@ def build_row_sharded_plan(
             local_ptr = np.zeros(shard_rows + 1, dtype=np.int64)
             local_ptr[1 : mine.shape[0] + 1] = a_s.indptr[1:]
             local_ptr[mine.shape[0] + 1 :] = a_s.indptr[-1]
-            local_idx = a_s.indices.astype(np.int64)
+            local_idx = pos_of[a_s.indices.astype(np.int64)]
         else:
             r0 = min(dev * shard_rows, num_nodes)
             r1 = min(r0 + shard_rows, num_nodes)
@@ -192,11 +204,16 @@ def build_row_sharded_plan(
             local_ptr[: seg.shape[0]] = seg
             local_ptr[seg.shape[0] :] = seg[-1] if seg.shape[0] else 0
             local_idx = indices[indptr[r0] : indptr[r1]]
-        # local CSR over shard_rows rows; columns remain GLOBAL node ids
-        # (they index the all-gathered X). num_nodes for dedup keying must
-        # cover the global id space.
+        # local CSR over shard_rows rows; columns remain GLOBAL ids
+        # (they index the all-gathered X): original node ids for the
+        # contiguous split, permuted padded positions when balance=True.
         plan = _preprocess_local(
-            local_ptr, local_idx, shard_rows, num_nodes, config, backend
+            local_ptr,
+            local_idx,
+            shard_rows,
+            n_pad if balance else num_nodes,
+            config,
+            backend,
         )
         plans.append(plan)
         if with_transpose:
@@ -292,6 +309,10 @@ def row_sharded_spmm(
     hi = jnp.asarray(plan.hind)
     wob = jnp.asarray(plan.window_of_block)
     bptr = jnp.asarray(plan.block_ptr)
+    if plan.row_perm is not None:
+        # balanced plans live in permuted position space: feed X in that
+        # layout (column ids were remapped at build time to match)
+        feat = jnp.take(feat, jnp.asarray(plan.row_perm), axis=0)
     xr = feat.reshape(plan.ndev, plan.shard_rows, d)
     out = f(bm, hi, wob, bptr, xr).reshape(plan.num_nodes, d)
     if plan.row_perm is not None:

@@ -144,19 +144,22 @@ def make_row_sharded_train_step(
     )
     invd = np.asarray(inv_deg, np.float32).reshape(-1)
     if plan.row_perm is not None:
-        # degree-balanced shards: labels/normalizers follow the row
-        # assignment (x does NOT — it is source data in original order)
+        # degree-balanced shards: the whole computation runs in permuted
+        # position space (plan columns were remapped at build time), so
+        # features, labels and normalizers all follow the permutation;
+        # the loss is permutation-invariant, so nothing scatters back
         perm = np.asarray(plan.row_perm)
         invd = invd[perm]
-        y_perm = jnp.asarray(perm)
+        row_perm = jnp.asarray(perm)
     else:
-        y_perm = None
+        row_perm = None
     invd = jnp.asarray(invd).reshape(-1, 1)
 
     @jax.jit
     def run(params, x, y):
-        if y_perm is not None:
-            y = jnp.take(y, y_perm, axis=0)
+        if row_perm is not None:
+            x = jnp.take(x, row_perm, axis=0)
+            y = jnp.take(y, row_perm, axis=0)
         return step(
             params,
             *arrays,

@@ -139,6 +139,28 @@ def native_preprocess(
     W, K, words = config.block_h, config.block_w, config.words_per_col
     num_windows = max(-(-num_nodes // W), 1)
 
+    # the native kernels index with int32; a >=2^31 nnz or id space would
+    # silently wrap after the cast (r1 advisor finding) -> numpy path,
+    # which is int64 throughout
+    indptr64 = np.asarray(indptr, dtype=np.int64)
+    span = num_cols if num_cols is not None else num_nodes
+    i32max = np.iinfo(np.int32).max
+    if (
+        (indptr64.shape[0] and int(indptr64[-1]) > i32max)
+        or num_nodes > i32max
+        or span > i32max
+    ):
+        from ..format.preprocess import _numpy_preprocess
+
+        logger.warning(
+            "native preprocessing: input exceeds int32 range "
+            "(nnz=%s, num_nodes=%s, span=%s); using the numpy backend",
+            int(indptr64[-1]) if indptr64.shape[0] else 0, num_nodes, span,
+        )
+        return _numpy_preprocess(
+            indptr64, np.asarray(indices, np.int64), num_nodes, config, num_cols
+        )
+
     indptr = np.ascontiguousarray(indptr, dtype=np.int32)
     indices = np.ascontiguousarray(indices, dtype=np.int32)
     nnz_in = int(indices.shape[0])
