@@ -130,3 +130,60 @@ def test_default_space_shapes():
     assert all(isinstance(v, Variant) for v in default_space())
     accurate = default_space(accurate=True)
     assert all(v.compute_dtype == "float32" for v in accurate)
+
+
+def test_default_space_d_pruning():
+    # int8's quantized stream only pays at >=1KB rows (measured r1)
+    assert not any(v.impl == "int8" for v in default_space(d=256))
+    assert any(v.impl == "int8" for v in default_space(d=1024))
+    assert any(v.impl == "int8" for v in default_space())  # unknown d: keep
+
+
+def test_hash_tag_skips_content_hash(problem, tmp_path, monkeypatch):
+    """With an explicit hash_tag the tuner must never touch the matrix
+    content hash (the reference's tag-beats-hash protocol,
+    jit_kernels/spmm.py:17-36) — not even on cold calls."""
+    from voltrix_spmm_tpu.tuner import tuner as tuner_mod
+
+    a, feat, _ = problem
+
+    def boom(*_a, **_k):
+        raise AssertionError("_matrix_hash called despite hash_tag")
+
+    monkeypatch.setattr(tuner_mod, "_matrix_hash", boom)
+    tuner = SpmmTuner(cache_dir=str(tmp_path))
+    t1 = tuner.compile_and_tune(
+        a.indptr, a.indices, a.shape[0], feat, space=tiny_space()[:1],
+        hash_tag="tagged", iters=1,
+    )
+    # memory hit: also hash-free
+    t2 = tuner.compile_and_tune(
+        a.indptr, a.indices, a.shape[0], feat, space=tiny_space()[:1],
+        hash_tag="tagged", iters=1,
+    )
+    assert t1 is t2
+
+
+def test_budget_early_stop(problem, tmp_path):
+    a, feat, oracle = problem
+    tuner = SpmmTuner(cache_dir=str(tmp_path))
+    # zero budget: first candidate still times (a best is required), the
+    # rest are skipped
+    tuned = tuner.compile_and_tune(
+        a.indptr, a.indices, a.shape[0], feat, space=tiny_space(), iters=1,
+        budget_s=0.0,
+    )
+    assert len(tuned.candidates) == 1
+    out = np.asarray(tuned(jnp.asarray(feat)))
+    np.testing.assert_allclose(out, oracle, rtol=1e-5, atol=1e-4)
+
+
+def test_serial_compile_path(problem, tmp_path):
+    a, feat, oracle = problem
+    tuner = SpmmTuner(cache_dir=str(tmp_path))
+    tuned = tuner.compile_and_tune(
+        a.indptr, a.indices, a.shape[0], feat, space=tiny_space(), iters=1,
+        parallel_compile=False,
+    )
+    out = np.asarray(tuned(jnp.asarray(feat)))
+    np.testing.assert_allclose(out, oracle, rtol=1e-5, atol=1e-4)

@@ -17,6 +17,7 @@ PROJECT_NAME_ABBR_LOWER = "voltrix_tpu"
 #   VOLTRIX_TPU_PRINT_AUTO_TUNE    : "1" -> print autotuner decisions and timings
 #   VOLTRIX_TPU_DISABLE_NATIVE     : "1" -> force the pure-numpy preprocessing path
 #   VOLTRIX_TPU_INTERPRET          : "1" -> run Pallas kernels in interpreter mode
+#   VOLTRIX_TPU_TUNE_BUDGET_S      : soft autotune time budget in seconds
 DEBUG_FLAG = "VOLTRIX_TPU_JIT_DEBUG"
 CXX_COMPILER_FLAG = "VOLTRIX_TPU_CXX"
 CACHE_DIR_FLAG = "VOLTRIX_TPU_CACHE_DIR"
@@ -24,3 +25,4 @@ PRINT_CXX_COMMAND_FLAG = "VOLTRIX_TPU_PRINT_CXX_COMMAND"
 PRINT_AUTOTUNE_FLAG = "VOLTRIX_TPU_PRINT_AUTO_TUNE"
 DISABLE_NATIVE_FLAG = "VOLTRIX_TPU_DISABLE_NATIVE"
 INTERPRET_FLAG = "VOLTRIX_TPU_INTERPRET"
+TUNE_BUDGET_FLAG = "VOLTRIX_TPU_TUNE_BUDGET_S"

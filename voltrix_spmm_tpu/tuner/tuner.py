@@ -64,12 +64,17 @@ class Variant:
         )
 
 
-def default_space(accurate: bool = False) -> list[Variant]:
+def default_space(accurate: bool = False, d: int | None = None) -> list[Variant]:
     """The standard tuning space (the reference's models 0/1/2 analogue).
 
     accurate=True keeps fp32 MXU inputs only; otherwise bf16 variants
     (tf32-class accuracy, same class as the reference tensor cores)
     join the space.
+
+    d (feature width) prunes regime-inappropriate candidates: int8's
+    quantized stream only pays off once rows are >= 1 KB (measured: at
+    d=256 its 256-byte rows collapse XLA gather efficiency, 3x slower),
+    so it joins the space only at d >= 1024.
     """
     space = [
         Variant("pregather", block_h=512, block_unroll=4),
@@ -86,8 +91,9 @@ def default_space(accurate: bool = False) -> list[Variant]:
                 block_unroll=4,
                 compute_dtype="bfloat16",
             ),
-            Variant("int8", block_h=1024, block_unroll=4),
         ]
+        if d is None or d >= 1024:
+            space.append(Variant("int8", block_h=1024, block_unroll=4))
     return space
 
 
@@ -170,11 +176,30 @@ def _run_variant(variant: Variant, plan, feat, perm=None, inv_perm=None):
     return out
 
 
+_SAMPLE = 8192
+_warned_no_tag = False
+
+
 def _matrix_hash(indptr, indices, num_nodes: int) -> str:
+    """Strided-SAMPLE content hash: O(1) work regardless of nnz.
+
+    Hashing the full arrays cost a ~200 MB md5 on every call at rmat-19
+    scale. Sampling is safe here because a hash collision can only pick
+    a possibly-suboptimal cached *variant* — the plan is always rebuilt
+    from the actual matrix, so results stay correct. Callers who want
+    zero hashing pass `hash_tag` (reference protocol,
+    jit_kernels/spmm.py:17-36)."""
     md5 = hashlib.md5()
-    md5.update(np.int64(num_nodes).tobytes())
-    md5.update(np.ascontiguousarray(indptr).tobytes())
-    md5.update(np.ascontiguousarray(indices).tobytes())
+    md5.update(
+        np.asarray(
+            [num_nodes, len(indptr), len(indices)], dtype=np.int64
+        ).tobytes()
+    )
+    for arr in (indptr, indices):
+        arr = np.ascontiguousarray(arr)
+        step = max(1, arr.shape[0] // _SAMPLE)
+        md5.update(arr[::step][:_SAMPLE].tobytes())
+        md5.update(arr[-16:].tobytes())
     return md5.hexdigest()[:16]
 
 
@@ -219,6 +244,8 @@ class SpmmTuner:
         iters: int = 8,
         backend: str = "auto",
         reorderings: tuple[str, ...] = ("identity",),
+        budget_s: float | None = None,
+        parallel_compile: bool = False,
     ) -> TunedSpmm:
         """Pick the fastest (variant, ordering) for this (matrix,
         feature-shape) pair.
@@ -229,13 +256,40 @@ class SpmmTuner:
         transparently inside the returned TunedSpmm (input rows permuted,
         output rows restored). Gather-volume proxies provably misrank
         orderings, so this is the honest selector.
-        """
+
+        budget_s: soft tuning-time budget in seconds (default from
+        $VOLTRIX_TPU_TUNE_BUDGET_S); once exceeded, remaining candidates
+        are skipped and the best-so-far wins. parallel_compile overlaps
+        candidate compilation (background threads) with on-device
+        timing — the reference builds all candidates concurrently
+        (jit_kernels/tuner.py:84-102). Default off: measured on the
+        axon-relayed v5e, concurrent compile POSTs contend and a 5-way
+        cold tune took 123 s parallel vs 28 s serial; enable it on
+        hosts with a local compiler."""
+        import time
+
         import jax.numpy as jnp
 
         if space is None:
-            space = default_space()
+            space = default_space(d=int(feat.shape[1]))
         verbose = env_flag(const.PRINT_AUTOTUNE_FLAG)
+        if budget_s is None:
+            env = os.environ.get(const.TUNE_BUDGET_FLAG, "")
+            budget_s = float(env) if env else None
 
+        if hash_tag is None and len(indices) >= 1 << 20:
+            global _warned_no_tag
+            if not _warned_no_tag:
+                _warned_no_tag = True
+                import logging
+
+                logging.getLogger("voltrix_tpu").warning(
+                    "tune_spmm: no hash_tag given for a %d-nnz matrix; "
+                    "falling back to a sampled content hash. Pass "
+                    "hash_tag= for exact cache identity (reference "
+                    "protocol, jit_kernels/spmm.py:31-36).",
+                    len(indices),
+                )
         tag = hash_tag or _matrix_hash(indptr, indices, num_nodes)
         signature = (
             f"{tag}.n{num_nodes}.d{feat.shape[1]}.{np.dtype(feat.dtype).name}"
@@ -321,40 +375,71 @@ class SpmmTuner:
         feat = jnp.asarray(feat)
         results: dict[str, float] = {}
         best = None  # (time, variant, plan, ordering, perm, inv_perm)
-        for ordering in reorderings:
-            for variant in space:
-                key = f"{ordering}|{variant.key()}"
+        t_begin = time.perf_counter()
+
+        # stage 1: build plans + launch candidate compiles in the
+        # background; stage 2: time serially (the device is exclusive)
+        # while later compiles still make progress.
+        from concurrent.futures import ThreadPoolExecutor
+
+        from ..utils import device_loop_prepare
+
+        staged = []  # (key, variant, plan, perm, inv_perm, fn, fargs, fut|exc)
+        pool = ThreadPoolExecutor(max_workers=4) if parallel_compile else None
+        try:
+            for ordering in reorderings:
+                for variant in space:
+                    key = f"{ordering}|{variant.key()}"
+                    try:
+                        plan = plan_for_variant(variant, ordering)
+                        perm, inv_perm = perm_arrays(ordering)
+                        if perm is None:
+                            fn = lambda c, p, v=variant: _run_variant(v, p, c)
+                            fargs = (plan,)
+                        else:
+                            fn = lambda c, p, pe, ip, v=variant: _run_variant(
+                                v, p, c, pe, ip
+                            )
+                            fargs = (plan, perm, inv_perm)
+                        fut = (
+                            pool.submit(device_loop_prepare, fn, feat, *fargs)
+                            if pool is not None
+                            else None
+                        )
+                        staged.append(
+                            (key, variant, plan, ordering, perm, inv_perm, fn, fargs, fut)
+                        )
+                    except Exception as e:  # invalid geometry -> skip, like
+                        # the reference's return-code filter (tuner.py:108-116)
+                        if verbose:
+                            print(f"voltrix_tpu tune: {key} invalid: {e}")
+                        results[key] = float("inf")
+
+            skipped = 0
+            for key, variant, plan, ordering, perm, inv_perm, fn, fargs, fut in staged:
+                if (
+                    budget_s is not None
+                    and best is not None
+                    and time.perf_counter() - t_begin > budget_s
+                ):
+                    skipped += 1
+                    if fut is not None:
+                        fut.cancel()
+                    continue
                 try:
-                    plan = plan_for_variant(variant, ordering)
-                    perm, inv_perm = perm_arrays(ordering)
+                    compiled = fut.result() if fut is not None else None
 
                     def run_once(n_iters):
-                        if perm is None:
-                            return device_loop_bench(
-                                lambda c, p, v=variant: _run_variant(v, p, c),
-                                feat,
-                                plan,
-                                iters=n_iters,
-                                trials=2,
-                            )
                         return device_loop_bench(
-                            lambda c, p, pe, ip, v=variant: _run_variant(
-                                v, p, c, pe, ip
-                            ),
-                            feat,
-                            plan,
-                            perm,
-                            inv_perm,
-                            iters=n_iters,
-                            trials=2,
+                            fn, feat, *fargs,
+                            iters=n_iters, trials=2, compiled=compiled,
                         )
 
                     t = run_once(iters)
                     if t < 0.5:  # sub-ms: dispatch jitter dominates,
                         # re-time with a longer loop for a stable ranking
                         t = run_once(max(iters * 8, 64))
-                except Exception as e:  # invalid candidate -> skip, like
-                    # the reference's return-code filter (tuner.py:108-116)
+                except Exception as e:  # invalid candidate -> skip
                     if verbose:
                         print(f"voltrix_tpu tune: {key} invalid: {e}")
                     results[key] = float("inf")
@@ -364,6 +449,14 @@ class SpmmTuner:
                     print(f"voltrix_tpu tune: {key} -> {t:.3f} ms")
                 if best is None or t < best[0]:
                     best = (t, variant, plan, ordering, perm, inv_perm)
+            if skipped and verbose:
+                print(
+                    f"voltrix_tpu tune: budget {budget_s:.1f}s exhausted, "
+                    f"skipped {skipped} candidate(s)"
+                )
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False, cancel_futures=True)
 
         assert best is not None, "no valid tuning candidate"
         tuned = TunedSpmm(

@@ -95,12 +95,37 @@ def CPU_bench(fn: Callable[[], object], iters: int = 10, warmup: int = 2) -> flo
     return (end - start) / iters * 1e3
 
 
+def device_loop_prepare(step_fn: Callable, carry, *args):
+    """AOT-compile the `device_loop_bench` timing loop for `step_fn` and
+    return the compiled executable (pass it back via `compiled=`).
+
+    Splitting compile from timing lets the autotuner overlap candidate
+    compilation (slow through the remote-compile link) with on-device
+    timing of earlier candidates — the TPU answer to the reference's
+    concurrent candidate builds (jit_kernels/tuner.py:84-102 mp.Pool).
+    The loop bound is a traced argument, so one executable serves every
+    loop length."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    @jax.jit
+    def run(c0, rest, n_iter):
+        def body(_, c):
+            out = step_fn(c, *rest)
+            return c + (1e-38 * out).astype(c.dtype)
+
+        return jnp.sum(lax.fori_loop(0, n_iter, body, c0, unroll=False))
+
+    return run.lower(carry, args, jnp.int32(0)).compile()
+
+
 def device_loop_bench(
     step_fn: Callable,
     carry,
     *args,
     iters: int = 20,
     trials: int = 3,
+    compiled=None,
 ) -> float:
     """Robust device time in ms/iter for `step_fn(carry, *args) -> out`
     where `out` has the carry's shape/dtype.
@@ -114,28 +139,25 @@ def device_loop_bench(
     semantics are weak.
     """
     import jax.numpy as jnp
-    from jax import lax
 
     # n_iter is traced (dynamic while-loop bound) so BOTH loop lengths
     # share one compilation — compile time matters when autotuning many
     # variants over a slow remote-compile link.
-    @jax.jit
-    def run(c0, rest, n_iter):
-        def body(_, c):
-            out = step_fn(c, *rest)
-            return c + (1e-38 * out).astype(c.dtype)
+    if compiled is None:
+        compiled = device_loop_prepare(step_fn, carry, *args)
 
-        return jnp.sum(lax.fori_loop(0, n_iter, body, c0, unroll=False))
+    def run(n: int) -> float:
+        return float(compiled(carry, args, jnp.int32(n)))
 
-    float(run(carry, args, iters))  # compile + warm
+    run(iters)  # warm
 
     best = float("inf")
     upper = float("inf")
     for _ in range(trials):
         t0 = time.perf_counter()
-        float(run(carry, args, iters))
+        run(iters)
         t1 = time.perf_counter()
-        float(run(carry, args, 2 * iters))
+        run(2 * iters)
         t2 = time.perf_counter()
         slope = ((t2 - t1) - (t1 - t0)) / iters * 1e3
         if slope > 0:
