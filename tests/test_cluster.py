@@ -1,0 +1,104 @@
+"""Two-level window (column clustering) tests: semantic invariance,
+occupancy reduction, subtile-kernel correctness on clustered plans."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from voltrix_spmm_tpu.format import PlanConfig, csr_preprocess, plan_to_dense
+from voltrix_spmm_tpu.format.cluster import (
+    block_occupancy,
+    cluster_window_columns,
+    subtile_stats,
+)
+from voltrix_spmm_tpu.ops import spmm_pallas, spmm_scipy
+
+
+def clustered_graph(rng, n=1024, comm=128):
+    """Community graph: neighbors of a row concentrate in one 128-row
+    band, so signatures are low-popcount and clustering has bite."""
+    src = rng.integers(0, n, size=n * 8)
+    dst = (src // comm) * comm + rng.integers(0, comm, size=src.shape[0])
+    extra_s = rng.integers(0, n, size=n)
+    extra_d = rng.integers(0, n, size=n)
+    a = sp.csr_matrix(
+        (
+            np.ones(src.shape[0] + n, np.float32),
+            (np.concatenate([src, extra_s]), np.concatenate([dst, extra_d])),
+        ),
+        shape=(n, n),
+    )
+    a.sum_duplicates()
+    a.data[:] = 1.0
+    return a
+
+
+def test_clustering_preserves_matrix(rng):
+    a = clustered_graph(rng)
+    n = a.shape[0]
+    plan = csr_preprocess(a.indptr, a.indices, n, PlanConfig(256, 128))
+    cplan = cluster_window_columns(plan)
+    np.testing.assert_array_equal(plan_to_dense(cplan), plan_to_dense(plan))
+    # same geometry, same gather volume — only lane order changed
+    assert cplan.total_blocks == plan.total_blocks
+    assert np.asarray(cplan.hind).shape == np.asarray(plan.hind).shape
+
+
+def test_clustering_reduces_occupancy(rng):
+    a = clustered_graph(rng, n=2048, comm=128)
+    n = a.shape[0]
+    plan = csr_preprocess(
+        a.indptr, a.indices, n, PlanConfig(1024, 128, block_unroll=2)
+    )
+    before = subtile_stats(plan)
+    after = subtile_stats(cluster_window_columns(plan))
+    assert after["occupied_subtiles"] < before["occupied_subtiles"]
+    assert after["total_subtiles"] == before["total_subtiles"]
+
+
+def test_preprocess_cluster_cols_flag(rng):
+    a = clustered_graph(rng)
+    n = a.shape[0]
+    cfg = PlanConfig(256, 128, cluster_cols=True, block_unroll=2)
+    plan = csr_preprocess(a.indptr, a.indices, n, cfg)
+    assert plan.occ is not None and np.asarray(plan.occ).shape == (
+        plan.total_blocks,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(plan.occ), block_occupancy(np.asarray(plan.bitmask))
+    )
+    # the plan still represents A exactly
+    oracle = np.zeros((n, n), np.uint8)
+    oracle[a.nonzero()] = 1
+    np.testing.assert_array_equal(plan_to_dense(plan), oracle)
+
+
+@pytest.mark.parametrize("subtile", [False, True])
+def test_spmm_on_clustered_plan(rng, subtile):
+    a = clustered_graph(rng)
+    n, d = a.shape[0], 96  # unaligned d exercises padding
+    feat = rng.standard_normal((n, d)).astype(np.float32)
+    cfg = PlanConfig(256, 128, cluster_cols=True, block_unroll=2)
+    plan = csr_preprocess(a.indptr, a.indices, n, cfg)
+    out = np.asarray(spmm_pallas(plan, jnp.asarray(feat), subtile=subtile))
+    oracle = spmm_scipy(a.indptr, a.indices, n, feat)
+    np.testing.assert_allclose(out, oracle, rtol=1e-5, atol=1e-4)
+
+
+def test_cluster_config_validation():
+    with pytest.raises(AssertionError):
+        PlanConfig(256, 128, gather_segment=8, cluster_cols=True)
+    with pytest.raises(AssertionError):
+        PlanConfig(64, 128, cluster_cols=True)
+
+
+def test_empty_matrix_cluster():
+    n = 300
+    indptr = np.zeros(n + 1, np.int64)
+    plan = csr_preprocess(
+        indptr, np.zeros(0, np.int64), n, PlanConfig(128, 128, cluster_cols=True)
+    )
+    assert plan.total_blocks == 0
+    out = spmm_pallas(plan, jnp.ones((n, 32), jnp.float32))
+    assert float(jnp.abs(out).max()) == 0.0

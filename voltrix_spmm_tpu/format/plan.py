@@ -60,12 +60,19 @@ class PlanConfig:
     block_unroll: int = 1  # pad blocks/window to a multiple of this so
     # kernels can process `block_unroll` blocks per grid step (amortizes
     # per-step and MXU setup overhead); padding blocks carry zero bits
+    cluster_cols: bool = False  # two-level windows: re-sort each window's
+    # lanes by 128-row sub-window signature so the subtile kernel can skip
+    # empty (128, K) sub-products (see format/cluster.py); semantics of
+    # the plan are unchanged
 
     def __post_init__(self):
         assert self.block_h > 0 and self.block_w > 0
         assert self.gather_segment >= 1
         assert self.block_w % self.gather_segment == 0
         assert self.block_unroll >= 1
+        if self.cluster_cols:
+            assert self.gather_segment == 1, "clustering needs exact lanes"
+            assert self.block_h % 128 == 0, "clustering unit is 128 rows"
 
     @property
     def words_per_col(self) -> int:
@@ -91,9 +98,17 @@ class SpmmPlan:
     # rectangular support: source-node (column) space size; None = square.
     # Row-sharded execution uses shard rows x global columns.
     num_cols: int | None = None
+    # per-block sub-window occupancy bitmap (int32 (total_blocks,), bit s
+    # set iff 128-row sub-window s has any bit) — precomputed on the host
+    # for cluster_cols plans so the subtile kernel's scalar prefetch is
+    # free; None -> computed on the fly
+    occ: object = None
 
     def tree_flatten(self):
-        children = (self.bitmask, self.hind, self.window_of_block, self.block_ptr)
+        children = (
+            self.bitmask, self.hind, self.window_of_block, self.block_ptr,
+            self.occ,
+        )
         aux = (
             self.config,
             self.num_nodes,
@@ -107,7 +122,8 @@ class SpmmPlan:
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, *aux)
+        bm, hind, wob, bptr, occ = children
+        return cls(bm, hind, wob, bptr, *aux, occ=occ)
 
     # number of padded rows the kernel computes before slicing back to N
     @property
@@ -132,4 +148,9 @@ class SpmmPlan:
             hind=jax.device_put(np.asarray(self.hind)),
             window_of_block=jax.device_put(np.asarray(self.window_of_block)),
             block_ptr=jax.device_put(np.asarray(self.block_ptr)),
+            occ=(
+                None
+                if self.occ is None
+                else jax.device_put(np.asarray(self.occ))
+            ),
         )

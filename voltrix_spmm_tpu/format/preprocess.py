@@ -64,9 +64,19 @@ def csr_preprocess(
     if backend == "native":
         from ..runtime import native_preprocess
 
-        return native_preprocess(indptr, indices, num_nodes, config, num_cols)
-    assert backend == "numpy", f"unknown backend {backend!r}"
-    return _numpy_preprocess(indptr, indices, num_nodes, config, num_cols)
+        plan = native_preprocess(indptr, indices, num_nodes, config, num_cols)
+    else:
+        assert backend == "numpy", f"unknown backend {backend!r}"
+        plan = _numpy_preprocess(indptr, indices, num_nodes, config, num_cols)
+
+    if config.cluster_cols:
+        # two-level windows: sort each window's lanes by sub-window
+        # signature and precompute the subtile skip bitmap
+        from .cluster import block_occupancy, cluster_window_columns
+
+        plan = cluster_window_columns(plan)
+        plan.occ = block_occupancy(np.asarray(plan.bitmask))
+    return plan
 
 
 def _numpy_preprocess(

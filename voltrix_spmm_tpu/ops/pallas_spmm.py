@@ -97,7 +97,7 @@ def _spmm_block_kernel(
 
 def _spmm_subtiled_kernel(
     wob_ref,  # scalar-prefetch: int32 (num_groups,)
-    occ_ref,  # scalar-prefetch: int32 (total_blocks,) sub-window bitmap
+    occ_ref,  # scalar-prefetch: int32 (num_groups,) group sub-window bitmap
     bitmask_ref,  # (unroll, words, K) uint32
     xg_ref,  # (unroll * K, block_d)
     out_ref,  # (block_h, block_d) float32
@@ -110,11 +110,15 @@ def _spmm_subtiled_kernel(
 ):
     """Tall-window variant that skips empty 128-row sub-tiles.
 
-    At tall windows the mask is extremely sparse (<1% of slots) and
-    locality-ordered graphs cluster each block's bits into few 128-row
-    sub-windows; a per-(block, sub-window) occupancy bitmap lets the MXU
-    skip the empty (128, K) @ (K, D) sub-products entirely — the TPU
-    answer to wasted tensor-core tiles."""
+    At tall windows the mask is extremely sparse (<1% of slots); with
+    column-clustered plans (format/cluster.py) each unroll-group's bits
+    concentrate in few 128-row sub-windows. Per occupied sub-window the
+    group computes ONE wide (128, unroll*K) @ (unroll*K, D) masked dot —
+    skipping empty sub-windows skips both the VPU bitmask expansion
+    (the measured per-step bottleneck at tall windows) and the MXU pass.
+    Group-level (not per-block) predication keeps the dot large and the
+    branch count at nsub per step; a per-block version measured slower
+    (64 predicated small dots/step ate the savings on v5e)."""
     b = pl.program_id(1)
     w = wob_ref[b]
     prev_w = wob_ref[jnp.maximum(b - 1, 0)]
@@ -125,23 +129,28 @@ def _spmm_subtiled_kernel(
         out_ref[...] = jnp.zeros_like(out_ref)
 
     nsub = block_h // 128
-    for u in range(unroll):
-        occ = occ_ref[b * unroll + u]
-        for s in range(nsub):
-            @pl.when((occ >> s) & 1 != 0)
-            def _(u=u, s=s):
-                mask = expand_bitmask(
-                    bitmask_ref[u, s * 4 : (s + 1) * 4], 128, compute_dtype
-                )
-                xg_u = xg_ref[u * block_w : (u + 1) * block_w].astype(
-                    compute_dtype
-                )
-                out_ref[s * 128 : (s + 1) * 128, :] += jnp.dot(
-                    mask,
-                    xg_u,
-                    preferred_element_type=jnp.float32,
-                    precision=precision,
-                )
+    occ = occ_ref[b]
+    xg = xg_ref[...].astype(compute_dtype)
+    for s in range(nsub):
+        @pl.when((occ >> s) & 1 != 0)
+        def _(s=s):
+            mask = jnp.concatenate(
+                [
+                    expand_bitmask(
+                        bitmask_ref[u, s * 4 : (s + 1) * 4],
+                        128,
+                        compute_dtype,
+                    )
+                    for u in range(unroll)
+                ],
+                axis=1,
+            )
+            out_ref[s * 128 : (s + 1) * 128, :] += jnp.dot(
+                mask,
+                xg,
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )
 
 
 def _subtile_occupancy(bitmask, unroll: int):
@@ -258,7 +267,17 @@ def spmm_pallas(
     )
     scalar_args = [jnp.asarray(plan.window_of_block)[::unroll]]
     if subtile:
-        scalar_args.append(_subtile_occupancy(jnp.asarray(plan.bitmask), unroll))
+        # cluster_cols plans carry the skip bitmap precomputed on the host
+        occ_blocks = (
+            jnp.asarray(plan.occ)
+            if plan.occ is not None
+            else _subtile_occupancy(jnp.asarray(plan.bitmask), unroll)
+        )
+        # group-level bitmap: OR over the unroll blocks of each grid step
+        occ_group = occ_blocks[::unroll]
+        for i in range(1, unroll):
+            occ_group = occ_group | occ_blocks[i::unroll]
+        scalar_args.append(occ_group)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

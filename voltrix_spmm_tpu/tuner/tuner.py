@@ -47,12 +47,18 @@ class Variant:
     precision: str | None = None
     threshold: int | None = None  # hybrid: min neighbors per dense run
     block_unroll: int = 1
-    subtile: bool = False  # pregather: skip empty 128-row sub-tiles
+    subtile: bool = False  # pregather: skip empty 128-row sub-tiles; the
+    # plan is column-clustered (format/cluster.py) so skipping actually
+    # fires — unclustered subtiling measured a loss in r1 (occupancy 14/16)
 
     @property
     def plan_config(self) -> PlanConfig:
         return PlanConfig(
-            self.block_h, self.block_w, self.gather_segment, self.block_unroll
+            self.block_h,
+            self.block_w,
+            self.gather_segment,
+            self.block_unroll,
+            cluster_cols=self.subtile,
         )
 
     def key(self) -> str:
@@ -80,6 +86,8 @@ def default_space(accurate: bool = False, d: int | None = None) -> list[Variant]
         Variant("pregather", block_h=512, block_unroll=4),
         Variant("pregather", block_h=1024, block_unroll=4),
         Variant("pregather", block_h=2048, block_unroll=4),
+        Variant("pregather", block_h=1024, block_unroll=4, subtile=True),
+        Variant("pregather", block_h=2048, block_unroll=4, subtile=True),
         Variant("fused", block_h=128, gather_segment=8),
         Variant("hybrid", block_h=128, gather_segment=8),
     ]
