@@ -62,15 +62,42 @@ def main():
     # against fp32 BCOO stays apples-to-apples (int8 is reported in
     # bench/bench_all.py, not the headline).
     space = [
-        Variant("pregather", block_h=1024, block_unroll=4, compute_dtype="bfloat16"),
         Variant("pregather", block_h=2048, block_unroll=4),
         Variant("pregather", block_h=2048, block_unroll=4, compute_dtype="bfloat16"),
+        Variant("pregather", block_h=2048, block_unroll=4, subtile=True),
+        Variant("pregather", block_h=1024, block_unroll=4, subtile=True),
     ]
     tuned = tune_spmm(
         a.indptr, a.indices, n, feat_np, space=space,
         hash_tag=f"bench-rmat{scale}-deg{avg_deg}-{order_name}",
     )
     t_pallas = tuned.time_ms
+
+    if "--profile" in sys.argv:
+        # per-kernel device-time attribution (reference bench_kineto role)
+        from voltrix_spmm_tpu.profiling import attribute_spmm, profile_op
+
+        table = profile_op(tuned, feat, iters=5)
+        attrib = attribute_spmm(table, tuned.plan)
+        print(
+            json.dumps(
+                {
+                    "metric": "spmm_profile_rmat17_d256",
+                    "variant": tuned.variant.key(),
+                    "attribution": {
+                        k: round(v, 4) for k, v in attrib.items()
+                    },
+                    "top_ops": [
+                        {
+                            "op": r["op"][:100],
+                            "ms": round(r["ms_per_iter"], 4),
+                        }
+                        for r in table[:6]
+                    ],
+                }
+            )
+        )
+        return
 
     bcoo = make_bcoo_spmm(a)
     t_bcoo = device_loop_bench(lambda c, f=bcoo: f(c), feat, iters=5)

@@ -6,6 +6,8 @@ the library by backend detection)."""
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# timing fidelity is irrelevant on CPU; keep bench loops short
+os.environ.setdefault("VOLTRIX_TPU_BENCH_WINDOW_MS", "1")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

@@ -436,17 +436,12 @@ class SpmmTuner:
                     continue
                 try:
                     compiled = fut.result() if fut is not None else None
-
-                    def run_once(n_iters):
-                        return device_loop_bench(
-                            fn, feat, *fargs,
-                            iters=n_iters, trials=2, compiled=compiled,
-                        )
-
-                    t = run_once(iters)
-                    if t < 0.5:  # sub-ms: dispatch jitter dominates,
-                        # re-time with a longer loop for a stable ranking
-                        t = run_once(max(iters * 8, 64))
+                    # device_loop_bench auto-scales the loop window, so
+                    # sub-ms candidates need no special re-timing
+                    t = device_loop_bench(
+                        fn, feat, *fargs,
+                        iters=iters, trials=2, compiled=compiled,
+                    )
                 except Exception as e:  # invalid candidate -> skip
                     if verbose:
                         print(f"voltrix_tpu tune: {key} invalid: {e}")

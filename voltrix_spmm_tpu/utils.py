@@ -126,6 +126,7 @@ def device_loop_bench(
     iters: int = 20,
     trials: int = 3,
     compiled=None,
+    min_window_ms: float | None = None,
 ) -> float:
     """Robust device time in ms/iter for `step_fn(carry, *args) -> out`
     where `out` has the carry's shape/dtype.
@@ -137,10 +138,24 @@ def device_loop_bench(
     (reference voltrix/utils.py:232-350) and is reliable even when the
     device sits behind an async RPC relay where `block_until_ready`
     semantics are weak.
+
+    The loop length is auto-scaled so each dispatch does >= min_window_ms
+    of device work (relay round-trip jitter is tens of ms; a short loop
+    lets one hiccup poison the slope) and the per-trial slopes are
+    MEDIAN-combined — min-combining was observed to latch a single
+    jitter-deflated slope at ~0.6x the true op time and persist it into
+    the tune cache.
     """
     import jax.numpy as jnp
 
-    # n_iter is traced (dynamic while-loop bound) so BOTH loop lengths
+    if min_window_ms is None:
+        # $VOLTRIX_TPU_BENCH_WINDOW_MS: tests shrink it (CPU interpret
+        # mode is slow and needs no timing fidelity)
+        min_window_ms = float(
+            os.environ.get("VOLTRIX_TPU_BENCH_WINDOW_MS", "400")
+        )
+
+    # n_iter is traced (dynamic while-loop bound) so ALL loop lengths
     # share one compilation — compile time matters when autotuning many
     # variants over a slow remote-compile link.
     if compiled is None:
@@ -149,25 +164,41 @@ def device_loop_bench(
     def run(n: int) -> float:
         return float(compiled(carry, args, jnp.int32(n)))
 
-    run(iters)  # warm
+    run(min(iters, 4))  # warm
 
-    best = float("inf")
-    upper = float("inf")
-    for _ in range(trials):
+    # escalate the loop length until the *measured slope window* (the
+    # real device work separating the 1x and 2x dispatches) is at least
+    # min_window_ms — sizing from a wall-clock probe alone undersizes n
+    # for fast ops because relay dispatch overhead inflates the estimate
+    n = iters
+    for _ in range(4):
         t0 = time.perf_counter()
-        run(iters)
+        run(n)
         t1 = time.perf_counter()
-        run(2 * iters)
+        run(2 * n)
         t2 = time.perf_counter()
-        slope = ((t2 - t1) - (t1 - t0)) / iters * 1e3
-        if slope > 0:
-            best = min(best, slope)
-        upper = min(upper, (t2 - t1) / (2 * iters) * 1e3)
-    if best == float("inf"):
+        window_ms = ((t2 - t1) - (t1 - t0)) * 1e3
+        if window_ms >= min_window_ms or n >= (1 << 17):
+            break
+        growth = min_window_ms / max(window_ms, 1.0)
+        n = min(int(n * max(2.0, growth)) + 1, 1 << 17)
+
+    slopes = []
+    uppers = []
+    for _ in range(max(trials, 2)):
+        t0 = time.perf_counter()
+        run(n)
+        t1 = time.perf_counter()
+        run(2 * n)
+        t2 = time.perf_counter()
+        slopes.append(((t2 - t1) - (t1 - t0)) / n * 1e3)
+        uppers.append((t2 - t1) / (2 * n) * 1e3)
+    slopes = [s for s in slopes if s > 0]
+    if not slopes:
         # dispatch jitter swamped the slope (sub-us work): fall back to
         # the per-iteration upper bound (includes constant overhead)
-        return max(upper, 1e-6)
-    return best
+        return max(min(uppers), 1e-6)
+    return float(np.median(slopes))
 
 
 class DurationTimer:
