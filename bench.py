@@ -57,14 +57,19 @@ def main():
     feat_np = rng.standard_normal((n, d)).astype(np.float32)
     feat = jnp.asarray(feat_np)
 
-    # f32/bf16 only: bf16 MXU inputs are the same accuracy class as the
-    # reference's tf32 tensor cores vs fp32 cuSPARSE, so the comparison
-    # against fp32 BCOO stays apples-to-apples (int8 is reported in
-    # bench/bench_all.py, not the headline).
+    # f32/bf16 only: bf16 storage/MXU inputs are the same accuracy class
+    # as the reference's tf32 tensor cores vs fp32 cuSPARSE, so the
+    # comparison against fp32 BCOO stays apples-to-apples (int8 is
+    # reported in bench/bench_all.py, not the headline). The winner's
+    # difference rate vs the f32 oracle is reported in `detail`.
     space = [
         Variant("pregather", block_h=2048, block_unroll=4),
-        Variant("pregather", block_h=2048, block_unroll=4, compute_dtype="bfloat16"),
         Variant("pregather", block_h=2048, block_unroll=4, subtile=True),
+        Variant("pregather", block_h=2048, block_unroll=4, feat_dtype="bfloat16"),
+        Variant(
+            "pregather", block_h=2048, block_unroll=4,
+            subtile=True, feat_dtype="bfloat16",
+        ),
         Variant("pregather", block_h=1024, block_unroll=4, subtile=True),
     ]
     tuned = tune_spmm(
@@ -102,6 +107,20 @@ def main():
     bcoo = make_bcoo_spmm(a)
     t_bcoo = device_loop_bench(lambda c, f=bcoo: f(c), feat, iters=5)
 
+    # accuracy of the tuned winner vs the f32 host oracle (reference
+    # protocol: difference rate vs cuSPARSE, README.md:177-190)
+    from voltrix_spmm_tpu.utils import calc_diff
+
+    try:
+        from voltrix_spmm_tpu.runtime import native_spmm_oracle
+
+        oracle = native_spmm_oracle(a.indptr, a.indices, n, feat_np)
+    except Exception:
+        from voltrix_spmm_tpu.ops import spmm_scipy
+
+        oracle = spmm_scipy(a.indptr, a.indices, n, feat_np)
+    diff_rate = calc_diff(np.asarray(tuned(feat)), oracle)
+
     speedup = t_bcoo / t_pallas
     tflops = 2.0 * nnz * d / (t_pallas * 1e-3) / 1e12
     print(
@@ -115,6 +134,7 @@ def main():
                     "pallas_ms": round(t_pallas, 4),
                     "bcoo_ms": round(t_bcoo, 4),
                     "nnz_tflops": round(tflops, 4),
+                    "diff_rate": float(diff_rate),
                     "variant": tuned.variant.key(),
                     "num_nodes": n,
                     "nnz": int(nnz),

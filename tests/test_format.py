@@ -60,8 +60,12 @@ def test_dedup_and_compression(rng):
     a = sp.csr_matrix((np.ones(len(rows)), (rows, cols)), shape=(n, n))
     cfg = PlanConfig(block_h=32, block_w=128)
     plan = csr_preprocess(a.indptr, a.indices, n, cfg, backend="numpy")
-    # 2 windows; window 0 has only 4 unique cols -> 1 block; window 1 empty
-    assert plan.total_blocks == 1
+    # 2 windows; window 0 has only 4 unique cols -> 1 block; window 1 is
+    # empty and gets one zero-bit padding block (visited so its output
+    # tile is zeroed in-kernel instead of by a full-output rewrite)
+    assert plan.total_blocks == 2
+    assert not plan.has_empty_windows
+    assert np.asarray(plan.bitmask)[1].max() == 0
     np.testing.assert_array_equal(
         np.sort(np.asarray(plan.hind)[0, :4]), [1, 5, 9, 13]
     )

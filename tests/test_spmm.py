@@ -134,10 +134,29 @@ def test_spmm_empty_windows(rng, impl):
     plan = csr_preprocess(
         a.indptr, a.indices, n, PlanConfig(32, 128, gather_segment=seg)
     )
-    assert (np.diff(np.asarray(plan.block_ptr)) == 0).any()
+    # few empty windows -> padded with zero-bit blocks, zeroed in-kernel
+    assert not plan.has_empty_windows
+    assert (np.diff(np.asarray(plan.block_ptr)) > 0).all()
     out = np.asarray(spmm(plan, jnp.asarray(feat), impl=impl))
     np.testing.assert_allclose(out, oracle, rtol=1e-5, atol=1e-4)
     assert np.abs(out[:96]).max() == 0.0
+
+
+def test_spmm_empty_windows_dominated(rng):
+    # when empty windows dominate (rectangular/transpose-shard shapes),
+    # padding is skipped and the post-kernel mask zeroes them instead
+    n, d = 8192, 32
+    rows = np.repeat(np.arange(n - 32, n), 2)
+    cols = rng.integers(0, n, size=rows.shape[0])
+    a = sp.csr_matrix((np.ones(len(rows)), (rows, cols)), shape=(n, n))
+    a.sum_duplicates()
+    feat = rng.standard_normal((n, d)).astype(np.float32)
+    oracle = spmm_scipy(a.indptr, a.indices, n, feat).astype(np.float32)
+    plan = csr_preprocess(a.indptr, a.indices, n, PlanConfig(32, 128))
+    assert plan.has_empty_windows
+    out = np.asarray(spmm(plan, jnp.asarray(feat)))
+    np.testing.assert_allclose(out, oracle, rtol=1e-5, atol=1e-4)
+    assert np.abs(out[: n - 32]).max() == 0.0
 
 
 @pytest.mark.parametrize("unroll", [1, 2])

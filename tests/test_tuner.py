@@ -178,6 +178,23 @@ def test_budget_early_stop(problem, tmp_path):
     np.testing.assert_allclose(out, oracle, rtol=1e-5, atol=1e-4)
 
 
+def test_feat_dtype_variant_accuracy(problem, tmp_path):
+    """bf16 storage variants return the input dtype and stay inside the
+    bf16 accuracy class (rel err <= 1e-2, the BASELINE target)."""
+    from voltrix_spmm_tpu.utils import relative_error
+
+    a, feat, oracle = problem
+    tuner = SpmmTuner(cache_dir=str(tmp_path))
+    tuned = tuner.compile_and_tune(
+        a.indptr, a.indices, a.shape[0], feat,
+        space=[Variant("pregather", block_h=32, feat_dtype="bfloat16")],
+        iters=1,
+    )
+    out = tuned(jnp.asarray(feat))
+    assert out.dtype == jnp.float32  # output restored to the input dtype
+    assert relative_error(oracle, np.asarray(out)) <= 1e-2
+
+
 def test_serial_compile_path(problem, tmp_path):
     a, feat, oracle = problem
     tuner = SpmmTuner(cache_dir=str(tmp_path))

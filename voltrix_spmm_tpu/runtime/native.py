@@ -191,6 +191,11 @@ def native_preprocess(
     if config.block_unroll > 1:
         u = config.block_unroll
         blocks_per_window = -(-blocks_per_window // u) * u
+    from ..format.preprocess import pad_empty_windows
+
+    blocks_per_window = pad_empty_windows(
+        blocks_per_window, config.block_unroll
+    )
     block_ptr = np.zeros(num_windows + 1, dtype=np.int64)
     np.cumsum(blocks_per_window, out=block_ptr[1:])
     total_blocks = int(block_ptr[-1])

@@ -50,6 +50,10 @@ class Variant:
     subtile: bool = False  # pregather: skip empty 128-row sub-tiles; the
     # plan is column-clustered (format/cluster.py) so skipping actually
     # fires — unclustered subtiling measured a loss in r1 (occupancy 14/16)
+    feat_dtype: str | None = None  # storage dtype for the gathered X rows
+    # ("bfloat16" halves the gather volume — measured 2.2-3.9x faster
+    # gather on v5e; accumulation stays f32, accuracy class = bf16
+    # storage, rel err <= 1e-2 per BASELINE). None = keep input dtype.
 
     @property
     def plan_config(self) -> PlanConfig:
@@ -65,6 +69,7 @@ class Variant:
         return (
             f"{self.impl}/h{self.block_h}w{self.block_w}s{self.gather_segment}"
             f"u{self.block_unroll}{'st' if self.subtile else ''}"
+            f"{'/x' + self.feat_dtype if self.feat_dtype else ''}"
             f"/d{self.block_d}/{self.compute_dtype}"
             f"/{self.precision}/t{self.threshold}"
         )
@@ -92,12 +97,22 @@ def default_space(accurate: bool = False, d: int | None = None) -> list[Variant]
         Variant("hybrid", block_h=128, gather_segment=8),
     ]
     if not accurate:
+        # bf16 *storage* for the gathered rows (f32 accumulation) halves
+        # gather volume; bf16 MXU compute_dtype measured strictly worse
+        # (the in-kernel mask/stream conversions cost more than they save)
         space += [
             Variant(
                 "pregather",
                 block_h=2048,
                 block_unroll=4,
-                compute_dtype="bfloat16",
+                feat_dtype="bfloat16",
+            ),
+            Variant(
+                "pregather",
+                block_h=2048,
+                block_unroll=4,
+                subtile=True,
+                feat_dtype="bfloat16",
             ),
         ]
         if d is None or d >= 1024:
@@ -163,6 +178,10 @@ def _run_variant(variant: Variant, plan, feat, perm=None, inv_perm=None):
         spmm_pallas_int8,
     )
 
+    out_dtype = feat.dtype
+    if variant.feat_dtype is not None:
+        # thinner gathered rows; f32 accumulation restores the output type
+        feat = feat.astype(jnp.dtype(variant.feat_dtype))
     if perm is not None:
         feat = jnp.take(feat, perm, axis=0, mode="clip")
     kwargs = dict(
@@ -181,7 +200,7 @@ def _run_variant(variant: Variant, plan, feat, perm=None, inv_perm=None):
         out = spmm_pallas(plan, feat, subtile=variant.subtile, **kwargs)
     if inv_perm is not None:
         out = jnp.take(out, inv_perm, axis=0, mode="clip")
-    return out
+    return out.astype(out_dtype)
 
 
 _SAMPLE = 8192
