@@ -39,8 +39,8 @@ def methods_registry():
     # bench passes it to fn as a traced ARGUMENT — closing plans over
     # jit embeds them as constants and blows the remote-compile request
     # size (HTTP 413) on large graphs.
-    def voltrix_tuned(a, feat):
-        tuned = tune_spmm(a.indptr, a.indices, a.shape[0], feat)
+    def voltrix_tuned(a, feat, tag=None):
+        tuned = tune_spmm(a.indptr, a.indices, a.shape[0], feat, hash_tag=tag)
         from voltrix_spmm_tpu.tuner.tuner import _run_variant
 
         return (lambda x, p, v=tuned.variant: _run_variant(v, p, x)), tuned.plan
@@ -99,7 +99,7 @@ def run(args):
     rows = []
     for name in args.datasets.split(","):
         # write partial results as we go so a crash keeps earlier rows
-        _flush(args.out_dir, rows)
+        _flush(args.out_dir, rows, args.out_csv)
         path = os.path.join(args.data_dir, f"{name}.reorder.npz")
         if not os.path.exists(path):
             os.makedirs(args.data_dir, exist_ok=True)
@@ -113,7 +113,12 @@ def run(args):
             oracle = oracle_fn(a.indptr, a.indices, n, feat_np)
             for method in methods:
                 try:
-                    fn, plan = registry[method](a, feat_np)
+                    kw = (
+                        {"tag": f"{name}-sweep"}
+                        if method == "Voltrix"
+                        else {}
+                    )
+                    fn, plan = registry[method](a, feat_np, **kw)
                     rest = () if plan is None else (plan,)
                     out = np.asarray(fn(feat, *rest))
                     diff = calc_diff(out, oracle)
@@ -149,12 +154,12 @@ def run(args):
         del feat, oracle, feat_np
         gc.collect()
 
-    out_csv = _flush(args.out_dir, rows)
+    out_csv = _flush(args.out_dir, rows, args.out_csv)
     print(f"results -> {out_csv}")
 
 
-def _flush(out_dir, rows):
-    out_csv = os.path.join(out_dir, "results.csv")
+def _flush(out_dir, rows, csv_name="results.csv"):
+    out_csv = os.path.join(out_dir, csv_name)
     with open(out_csv, "w", newline="") as f:
         w = csv.writer(f)
         w.writerow(["dataset", "method", "featdim", "time_ms"])
@@ -171,6 +176,7 @@ if __name__ == "__main__":
     p.add_argument("--data-dir", default=os.path.join(here, "data"))
     p.add_argument("--out-dir", default=here)
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--out-csv", default="results.csv")
     p.add_argument("--quick", action="store_true")
     args = p.parse_args()
     if args.quick:

@@ -60,7 +60,19 @@ DATASETS = {
 
 
 def generate(name: str, out_dir: str, reorder: bool = False) -> str:
-    a = DATASETS[name]()
+    if name in DATASETS:
+        a = DATASETS[name]()
+    else:
+        # reference dataset names (bench/plot.py:8, BASELINE.json): the
+        # real TC-GNN .npz when $VOLTRIX_TPU_DATASETS provides it, else
+        # the published-stats proxy (voltrix_spmm_tpu/data/real.py);
+        # symmetrized per GNN adjacency convention
+        from voltrix_spmm_tpu.data import load_graph
+        from voltrix_spmm_tpu.data import symmetrize as _sym
+
+        a, label = load_graph(name)
+        a = _sym(a)
+        print(f"[graph_gen] {name}: source = {label}")
     if reorder:
         # pick identity/RCM/degree by window gather volume: a graph whose
         # natural ids are already community-contiguous (SBM) is KEPT —

@@ -96,6 +96,21 @@ def test_int8_device(problem):
     assert relative_error(oracle, np.asarray(out, np.float32)) <= 5e-2
 
 
+def test_weighted_device(problem):
+    from voltrix_spmm_tpu.ops import spmm_pallas_weighted
+
+    a, feat, _ = problem
+    n = a.shape[0]
+    aw = a.copy()
+    rng = np.random.default_rng(3)
+    aw.data = rng.standard_normal(aw.nnz).astype(np.float32)
+    plan = csr_preprocess(
+        aw.indptr, aw.indices, n, PlanConfig(128, 128), values=aw.data
+    ).device()
+    out = spmm_pallas_weighted(plan, jnp.asarray(feat))
+    _check(out, aw @ feat, tol=1e-3)
+
+
 def test_empty_windows_device():
     from voltrix_spmm_tpu.ops import spmm_pallas
 

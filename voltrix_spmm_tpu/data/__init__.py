@@ -9,6 +9,13 @@ from .generate import (
     save_npz_graph,
     load_npz_graph,
 )
+from .real import (
+    PUBLISHED,
+    chung_lu_csr,
+    load_graph,
+    load_tcgnn_npz,
+    proxy_csr,
+)
 
 __all__ = [
     "erdos_renyi_csr",
@@ -20,4 +27,9 @@ __all__ = [
     "symmetrize",
     "save_npz_graph",
     "load_npz_graph",
+    "PUBLISHED",
+    "chung_lu_csr",
+    "load_graph",
+    "load_tcgnn_npz",
+    "proxy_csr",
 ]

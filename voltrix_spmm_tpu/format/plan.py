@@ -103,11 +103,16 @@ class SpmmPlan:
     # for cluster_cols plans so the subtile kernel's scalar prefetch is
     # free; None -> computed on the fly
     occ: object = None
+    # weighted extension (the reference format is binary-only): per-edge
+    # values as a dense (total_blocks, block_h, block_w) plane aligned
+    # with the bitmask; the masked matmul becomes values @ xg (duplicate
+    # CSR entries sum, scipy convention). None -> binary SpMM.
+    values: object = None
 
     def tree_flatten(self):
         children = (
             self.bitmask, self.hind, self.window_of_block, self.block_ptr,
-            self.occ,
+            self.occ, self.values,
         )
         aux = (
             self.config,
@@ -122,8 +127,8 @@ class SpmmPlan:
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        bm, hind, wob, bptr, occ = children
-        return cls(bm, hind, wob, bptr, *aux, occ=occ)
+        bm, hind, wob, bptr, occ, values = children
+        return cls(bm, hind, wob, bptr, *aux, occ=occ, values=values)
 
     # number of padded rows the kernel computes before slicing back to N
     @property
@@ -152,5 +157,10 @@ class SpmmPlan:
                 None
                 if self.occ is None
                 else jax.device_put(np.asarray(self.occ))
+            ),
+            values=(
+                None
+                if self.values is None
+                else jax.device_put(np.asarray(self.values))
             ),
         )

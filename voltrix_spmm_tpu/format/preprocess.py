@@ -36,6 +36,7 @@ def csr_preprocess(
     config: PlanConfig = PlanConfig(),
     backend: str = "auto",
     num_cols: int | None = None,
+    values=None,
 ) -> SpmmPlan:
     """Build an `SpmmPlan` from CSR adjacency (binary values implied).
 
@@ -47,11 +48,29 @@ def csr_preprocess(
 
     backend: "numpy", "native" (C++/OpenMP), or "auto" (native when the
     runtime library is available, else numpy).
+
+    values: optional per-edge weights aligned with `indices` (the
+    reference format is binary-only; this extension stores a dense
+    (total_blocks, block_h, block_w) value plane and `spmm` dispatches
+    to the weighted kernel). Duplicate (row, col) entries SUM, the
+    scipy/cuSPARSE CSR convention. Use moderate block_h (<= 512): the
+    value plane costs total_blocks * block_h * block_w * 4 bytes.
     """
     indptr = np.asarray(indptr, dtype=np.int64)
     indices = np.asarray(indices, dtype=np.int64)
     assert indptr.ndim == 1 and indptr.shape[0] == num_nodes + 1
     assert indices.ndim == 1
+
+    if values is not None:
+        assert config.gather_segment == 1, "weighted plans need exact lanes"
+        assert not config.cluster_cols, (
+            "weighted plans do not support column clustering yet"
+        )
+        values = np.asarray(values, dtype=np.float32)
+        assert values.shape == indices.shape
+        # the value plane is built by the numpy path; the native backend
+        # covers the binary fast path only
+        backend = "numpy"
 
     if backend == "auto":
         if os.environ.get(const.DISABLE_NATIVE_FLAG, "0") == "1":
@@ -67,7 +86,9 @@ def csr_preprocess(
         plan = native_preprocess(indptr, indices, num_nodes, config, num_cols)
     else:
         assert backend == "numpy", f"unknown backend {backend!r}"
-        plan = _numpy_preprocess(indptr, indices, num_nodes, config, num_cols)
+        plan = _numpy_preprocess(
+            indptr, indices, num_nodes, config, num_cols, values
+        )
 
     if config.cluster_cols:
         # two-level windows: sort each window's lanes by sub-window
@@ -108,6 +129,7 @@ def _numpy_preprocess(
     num_nodes: int,
     config: PlanConfig,
     num_cols: int | None = None,
+    values: np.ndarray | None = None,
 ) -> SpmmPlan:
     span = num_cols if num_cols is not None else num_nodes
     W, K = config.block_h, config.block_w
@@ -121,9 +143,16 @@ def _numpy_preprocess(
     # Deduplicate (row, col) pairs so every bit is set exactly once
     # (the reference dedups per-window columns at bmat_kernels.cuh:248-262;
     # duplicate *edges* would corrupt its hspa the same way they would our
-    # bitmask, so canonicalize here).
+    # bitmask, so canonicalize here). Weighted plans SUM duplicate values
+    # (scipy CSR convention).
     edge_key = rows * span + cols
-    edge_key = np.unique(edge_key)
+    if values is not None:
+        edge_key, edge_inv = np.unique(edge_key, return_inverse=True)
+        vals = np.zeros(edge_key.shape[0], np.float32)
+        np.add.at(vals, edge_inv, values)
+    else:
+        edge_key = np.unique(edge_key)
+        vals = None
     rows = edge_key // span
     cols = edge_key % span
     nnz = int(rows.shape[0])
@@ -204,6 +233,13 @@ def _numpy_preprocess(
         (np.uint32(1) << (r_local % 32).astype(np.uint32)),
     )
 
+    vplane = None
+    if vals is not None:
+        # dense per-block value plane aligned with the bitmask; each
+        # deduped edge owns exactly one slot, so direct scatter is exact
+        vplane = np.zeros((total_blocks, W, K), dtype=np.float32)
+        vplane[e_block, r_local, e_lane] = vals
+
     window_of_block = np.repeat(
         np.arange(num_windows, dtype=np.int32), blocks_per_window
     )
@@ -220,6 +256,7 @@ def _numpy_preprocess(
         total_blocks=total_blocks,
         has_empty_windows=bool((blocks_per_window == 0).any()),
         num_cols=num_cols,
+        values=vplane,
     )
 
 

@@ -5,6 +5,7 @@ from .bitmask import expand_bitmask, expand_bitmask_batched
 from .autodiff import spmm_ad
 from .quant import spmm_pallas_int8, quantize_rows, dequantize_rows
 from .hybrid import spmm_pallas_hybrid
+from .weighted import spmm_pallas_weighted
 
 
 def spmm(plan, feat, *, impl: str = "auto", **kwargs):
@@ -13,14 +14,20 @@ def spmm(plan, feat, *, impl: str = "auto", **kwargs):
     impl: "auto" (dispatch on plan type), "fused" (in-kernel DMA
     gather), "pregather" / "pallas" (XLA gather + streaming kernel),
     "hybrid" (dense runs fused + scattered tail pregathered), "int8"
-    (quantized stream), "reference" (plain-JAX oracle).
+    (quantized stream), "weighted" (per-edge value plane), "reference"
+    (plain-JAX oracle).
     """
     from ..format.hybrid import HybridPlan
 
     if isinstance(plan, HybridPlan):
         return spmm_pallas_hybrid(plan, feat, **kwargs)
     if impl == "auto":
-        impl = "fused" if plan.config.gather_segment >= 8 else "pregather"
+        if getattr(plan, "values", None) is not None:
+            impl = "weighted"
+        else:
+            impl = "fused" if plan.config.gather_segment >= 8 else "pregather"
+    if impl == "weighted":
+        return spmm_pallas_weighted(plan, feat, **kwargs)
     if impl == "fused":
         return spmm_pallas_fused(plan, feat, **kwargs)
     if impl == "int8":
@@ -39,6 +46,7 @@ __all__ = [
     "spmm_pallas_fused",
     "spmm_pallas_int8",
     "spmm_pallas_hybrid",
+    "spmm_pallas_weighted",
     "quantize_rows",
     "dequantize_rows",
     "spmm_reference",
