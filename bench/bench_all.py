@@ -68,12 +68,22 @@ def methods_registry():
             raise RuntimeError("skipped: (nnz, d) intermediate exceeds HBM budget")
         return make_gather_segment_spmm(a), None
 
+    def dense(a, feat):
+        # densified MXU matmul — the roofline reference (third
+        # independent formulation next to BCOO and XLA-gather)
+        from voltrix_spmm_tpu.ops.baselines import make_dense_spmm
+
+        if a.shape[0] > 16384:
+            raise RuntimeError("skipped: dense A exceeds HBM budget")
+        return make_dense_spmm(a), None
+
     return {
         "Voltrix": voltrix_tuned,  # autotuned (the headline method)
         "Voltrix-pregather": voltrix_pregather,
         "Voltrix-fused": voltrix_fused,
         "BCOO": bcoo,  # vendor sparse baseline (cuSPARSE role)
         "XLA-gather": xla_gather,  # hand CSR baseline (GE-SpMM role)
+        "Dense": dense,  # densified matmul (MXU roofline reference)
     }
 
 

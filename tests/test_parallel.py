@@ -205,6 +205,63 @@ def test_balanced_row_sharded_training(rng):
     assert np.isfinite(float(loss)) and float(loss) < float(loss0)
 
 
+def test_ring_sharded_spmm_matches_oracle(rng):
+    from jax.sharding import Mesh
+    from voltrix_spmm_tpu.ops import spmm_scipy
+    from voltrix_spmm_tpu.parallel import build_ring_sharded_plan, ring_sharded_spmm
+
+    n, d, ndev = 700, 48, 4  # unaligned n -> padded shards
+    a = sp.random(n, n, density=0.03, format="csr", random_state=rng)
+    feat = rng.standard_normal((n, d)).astype(np.float32)
+    oracle = spmm_scipy(a.indptr, a.indices, n, feat)
+
+    plan = build_ring_sharded_plan(a.indptr, a.indices, n, ndev, CFG)
+    mesh = Mesh(np.asarray(jax.devices()[:ndev]), ("data",))
+    x_pad = np.zeros((plan.num_nodes, d), np.float32)
+    x_pad[:n] = feat
+    out = np.asarray(ring_sharded_spmm(plan, jnp.asarray(x_pad), mesh))
+    np.testing.assert_allclose(out[:n], oracle, rtol=1e-5, atol=1e-4)
+    assert np.abs(out[n:]).max() == 0.0
+
+
+def test_ring_sharded_grad_matches_dense(rng):
+    from jax.sharding import Mesh
+    from voltrix_spmm_tpu.parallel import build_ring_sharded_plan, ring_sharded_spmm
+
+    n, d, ndev = 256, 16, 4
+    a = sp.random(n, n, density=0.05, format="csr", random_state=rng)
+    plan = build_ring_sharded_plan(
+        a.indptr, a.indices, n, ndev, CFG, with_transpose=True
+    )
+    mesh = Mesh(np.asarray(jax.devices()[:ndev]), ("data",))
+    n_pad = plan.num_nodes
+    x = np.zeros((n_pad, d), np.float32)
+    x[:n] = rng.standard_normal((n, d))
+    w = rng.standard_normal((n_pad, d)).astype(np.float32)
+
+    def loss(xj):
+        return jnp.sum(ring_sharded_spmm(plan, xj, mesh) * w)
+
+    g = np.asarray(jax.grad(loss)(jnp.asarray(x)))
+    dense = np.zeros((n_pad, n_pad), np.float32)
+    dense[:n, :n] = (a.toarray() != 0)
+    g_ref = dense.T @ w
+    np.testing.assert_allclose(g, g_ref, rtol=1e-4, atol=1e-3)
+
+
+def test_ring_forward_only_grad_raises(rng):
+    from jax.sharding import Mesh
+    from voltrix_spmm_tpu.parallel import build_ring_sharded_plan, ring_sharded_spmm
+
+    n, d, ndev = 128, 8, 4
+    a = sp.random(n, n, density=0.05, format="csr", random_state=rng)
+    plan = build_ring_sharded_plan(a.indptr, a.indices, n, ndev, CFG)
+    mesh = Mesh(np.asarray(jax.devices()[:ndev]), ("data",))
+    x = jnp.zeros((plan.num_nodes, d), jnp.float32)
+    with pytest.raises(ValueError, match="with_transpose"):
+        jax.grad(lambda xj: jnp.sum(ring_sharded_spmm(plan, xj, mesh)))(x)
+
+
 def test_balanced_training_matches_unbalanced(rng):
     """Degree-balanced training computes the SAME model as contiguous
     sharding (advisor r1: the permuted layer-1 activations used to be
