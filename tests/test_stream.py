@@ -1,0 +1,101 @@
+"""Streamed (window-chunked, bounded-memory) dispatch tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from voltrix_spmm_tpu.format import PlanConfig, csr_preprocess
+from voltrix_spmm_tpu.format.stream import (
+    estimate_gather_bytes,
+    slice_plan_windows,
+)
+from voltrix_spmm_tpu.ops import spmm_pallas, spmm_scipy, spmm_streamed
+
+
+@pytest.fixture
+def problem(rng):
+    n, d = 900, 64  # unaligned n: last chunk carries the true row tail
+    a = sp.random(n, n, density=0.03, format="csr", random_state=rng)
+    feat = rng.standard_normal((n, d)).astype(np.float32)
+    oracle = spmm_scipy(a.indptr, a.indices, n, feat)
+    return a, feat, oracle
+
+
+@pytest.mark.parametrize("num_chunks", [1, 3, 7, 64])
+def test_streamed_matches_plain(problem, num_chunks):
+    a, feat, oracle = problem
+    plan = csr_preprocess(
+        a.indptr, a.indices, a.shape[0], PlanConfig(64, 128, block_unroll=2)
+    )
+    out = np.asarray(spmm_streamed(plan, jnp.asarray(feat), num_chunks=num_chunks))
+    assert out.shape == (a.shape[0], feat.shape[1])
+    np.testing.assert_allclose(out, oracle, rtol=1e-5, atol=1e-4)
+
+
+def test_streamed_subtile_clustered(problem):
+    a, feat, oracle = problem
+    cfg = PlanConfig(256, 128, block_unroll=2, cluster_cols=True)
+    plan = csr_preprocess(a.indptr, a.indices, a.shape[0], cfg)
+    out = np.asarray(
+        spmm_streamed(plan, jnp.asarray(feat), num_chunks=3, subtile=True)
+    )
+    np.testing.assert_allclose(out, oracle, rtol=1e-5, atol=1e-4)
+
+
+def test_streamed_under_jit_with_presliced(problem):
+    a, feat, oracle = problem
+    plan = csr_preprocess(a.indptr, a.indices, a.shape[0], PlanConfig(64, 128))
+    subs = slice_plan_windows(plan, 4)
+
+    @jax.jit
+    def run(subs, x):
+        return spmm_streamed(subs, x)
+
+    out = np.asarray(run(subs, jnp.asarray(feat)))
+    np.testing.assert_allclose(out, oracle, rtol=1e-5, atol=1e-4)
+
+
+def test_slice_plan_geometry(problem):
+    a, _, _ = problem
+    plan = csr_preprocess(a.indptr, a.indices, a.shape[0], PlanConfig(64, 128))
+    subs = slice_plan_windows(plan, 4)
+    assert sum(s.num_windows for s in subs) == plan.num_windows
+    assert sum(s.total_blocks for s in subs) == plan.total_blocks
+    assert sum(s.num_nodes for s in subs) == plan.num_nodes
+    for s in subs:
+        assert s.source_rows == plan.source_rows  # gather space unchanged
+
+
+def test_tuner_streamed_variant(problem, tmp_path):
+    from voltrix_spmm_tpu.tuner import SpmmTuner, Variant
+
+    a, feat, oracle = problem
+    tuner = SpmmTuner(cache_dir=str(tmp_path))
+    tuned = tuner.compile_and_tune(
+        a.indptr, a.indices, a.shape[0], feat,
+        space=[Variant("pregather", block_h=64, stream_chunks=4)],
+        iters=1,
+    )
+    out = np.asarray(tuned(jnp.asarray(feat)))
+    np.testing.assert_allclose(out, oracle, rtol=1e-5, atol=1e-4)
+    assert "c4" in tuned.variant.key()
+
+
+def test_default_space_huge_gate():
+    from voltrix_spmm_tpu.tuner import default_space
+
+    small = default_space(d=256, nnz=1_000_000)
+    assert not any(v.stream_chunks for v in small)
+    huge = default_space(d=256, nnz=100_000_000)
+    assert huge and all(v.stream_chunks for v in huge)
+    huge_acc = default_space(accurate=True, d=256, nnz=100_000_000)
+    assert all(v.feat_dtype is None for v in huge_acc)
+
+
+def test_estimate_gather_bytes(problem):
+    a, _, _ = problem
+    plan = csr_preprocess(a.indptr, a.indices, a.shape[0], PlanConfig(64, 128))
+    assert estimate_gather_bytes(plan, 256) == plan.gather_rows * 256 * 4
+    assert estimate_gather_bytes(10_000, 128, 2) == 10_000 * 128 * 2

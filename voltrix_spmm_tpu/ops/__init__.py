@@ -8,6 +8,29 @@ from .hybrid import spmm_pallas_hybrid
 from .weighted import spmm_pallas_weighted
 
 
+def spmm_streamed(plan, feat, *, num_chunks: int = 8, subtile=False, **kwargs):
+    """Window-chunked pregather dispatch with bounded peak HBM: each
+    chunk's gather materializes, feeds the kernel, and is freed before
+    the next chunk (XLA buffer liveness). For graphs whose full gather
+    exceeds device memory (reddit-class; see format/stream.py).
+
+    `plan` may be an SpmmPlan (sliced here, host-side) or a pre-sliced
+    list from `format.stream.slice_plan_windows` (pass that under jit).
+    """
+    import jax.numpy as jnp
+
+    from ..format.plan import SpmmPlan as _Plan
+    from ..format.stream import slice_plan_windows
+
+    subs = (
+        slice_plan_windows(plan, num_chunks)
+        if isinstance(plan, _Plan)
+        else list(plan)
+    )
+    outs = [spmm_pallas(s, feat, subtile=subtile, **kwargs) for s in subs]
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+
+
 def spmm(plan, feat, *, impl: str = "auto", **kwargs):
     """Public SpMM entry point (reference: voltrix/spmm/spmm.py:92-114).
 
@@ -47,6 +70,7 @@ __all__ = [
     "spmm_pallas_int8",
     "spmm_pallas_hybrid",
     "spmm_pallas_weighted",
+    "spmm_streamed",
     "quantize_rows",
     "dequantize_rows",
     "spmm_reference",

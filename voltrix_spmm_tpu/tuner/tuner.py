@@ -54,6 +54,10 @@ class Variant:
     # ("bfloat16" halves the gather volume — measured 2.2-3.9x faster
     # gather on v5e; accumulation stays f32, accuracy class = bf16
     # storage, rel err <= 1e-2 per BASELINE). None = keep input dtype.
+    stream_chunks: int | None = None  # pregather only: dispatch the plan
+    # in this many window chunks so peak HBM is one chunk's gather
+    # (reddit-class graphs exceed device memory otherwise; see
+    # format/stream.py). None = single dispatch.
 
     @property
     def plan_config(self) -> PlanConfig:
@@ -69,13 +73,16 @@ class Variant:
         return (
             f"{self.impl}/h{self.block_h}w{self.block_w}s{self.gather_segment}"
             f"u{self.block_unroll}{'st' if self.subtile else ''}"
+            f"{'c' + str(self.stream_chunks) if self.stream_chunks else ''}"
             f"{'/x' + self.feat_dtype if self.feat_dtype else ''}"
             f"/d{self.block_d}/{self.compute_dtype}"
             f"/{self.precision}/t{self.threshold}"
         )
 
 
-def default_space(accurate: bool = False, d: int | None = None) -> list[Variant]:
+def default_space(
+    accurate: bool = False, d: int | None = None, nnz: int | None = None
+) -> list[Variant]:
     """The standard tuning space (the reference's models 0/1/2 analogue).
 
     accurate=True keeps fp32 MXU inputs only; otherwise bf16 variants
@@ -86,7 +93,30 @@ def default_space(accurate: bool = False, d: int | None = None) -> list[Variant]
     quantized stream only pays off once rows are >= 1 KB (measured: at
     d=256 its 256-byte rows collapse XLA gather efficiency, 3x slower),
     so it joins the space only at d >= 1024.
+
+    nnz (edge count) gates the streamed fallbacks: when the worst-case
+    materialized gather (nnz * d * 4 bytes) approaches device memory,
+    window-chunked streamed variants join the space — on reddit-class
+    graphs they are the only single-chip candidates that fit (see
+    format/stream.py).
     """
+    huge = nnz is not None and d is not None and nnz * d * 4 > 4 * 2**30
+    if huge:
+        # plan memory also matters at this scale: shorter windows keep
+        # the bitmask linear in nnz; bf16 storage halves chunk gathers
+        space = [
+            Variant("pregather", block_h=128, block_unroll=4,
+                    stream_chunks=16, feat_dtype="bfloat16"),
+            Variant("pregather", block_h=512, block_unroll=4,
+                    stream_chunks=16, feat_dtype="bfloat16"),
+            Variant("pregather", block_h=512, block_unroll=4,
+                    stream_chunks=32, feat_dtype="bfloat16"),
+            Variant("pregather", block_h=512, block_unroll=4,
+                    stream_chunks=16),
+        ]
+        if accurate:
+            space = [v for v in space if v.feat_dtype is None]
+        return space
     space = [
         Variant("pregather", block_h=512, block_unroll=4),
         Variant("pregather", block_h=1024, block_unroll=4),
@@ -195,6 +225,14 @@ def _run_variant(variant: Variant, plan, feat, perm=None, inv_perm=None):
         out = spmm_pallas_hybrid(plan, feat, **kwargs)
     elif variant.impl == "int8":
         out = spmm_pallas_int8(plan, feat, block_d=variant.block_d)
+    elif variant.stream_chunks:
+        from ..ops import spmm_streamed
+
+        assert variant.impl == "pregather", variant.impl
+        out = spmm_streamed(
+            plan, feat, num_chunks=variant.stream_chunks,
+            subtile=variant.subtile, **kwargs,
+        )
     else:
         assert variant.impl == "pregather", variant.impl
         out = spmm_pallas(plan, feat, subtile=variant.subtile, **kwargs)
@@ -298,7 +336,7 @@ class SpmmTuner:
         import jax.numpy as jnp
 
         if space is None:
-            space = default_space(d=int(feat.shape[1]))
+            space = default_space(d=int(feat.shape[1]), nnz=len(indices))
         verbose = env_flag(const.PRINT_AUTOTUNE_FLAG)
         if budget_s is None:
             env = os.environ.get(const.TUNE_BUDGET_FLAG, "")
@@ -358,6 +396,21 @@ class SpmmTuner:
                         hp.dense.device(), hp.sparse.device(),
                         hp.num_nodes, hp.num_edges,
                     )
+                return plans[key]
+            if variant.stream_chunks:
+                key = (ordering, cfg, variant.stream_chunks)
+                if key not in plans:
+                    from ..format.stream import slice_plan_windows
+
+                    base = csr_preprocess(
+                        ptr, idx, num_nodes, cfg, backend=backend
+                    )
+                    plans[key] = [
+                        s.device()
+                        for s in slice_plan_windows(
+                            base, variant.stream_chunks
+                        )
+                    ]
                 return plans[key]
             key = (ordering, cfg)
             if key not in plans:
