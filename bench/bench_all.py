@@ -119,8 +119,17 @@ def run(args):
         rng = np.random.default_rng(0)
         for d in dims:
             feat_np = rng.standard_normal((n, d)).astype(np.float32)
-            feat = jnp.asarray(feat_np)
-            oracle = oracle_fn(a.indptr, a.indices, n, feat_np)
+            try:
+                feat = jnp.asarray(feat_np)
+                feat.block_until_ready()
+                oracle = oracle_fn(a.indptr, a.indices, n, feat_np)
+            except Exception as e:  # e.g. device OOM on the feature
+                # upload itself — record the whole cell as failed instead
+                # of killing the sweep
+                print(f"[setup] {name} d={d}: FAILED ({e})")
+                for method in methods:
+                    rows.append([name, method, d, float("nan")])
+                continue
             for method in methods:
                 try:
                     kw = (

@@ -464,66 +464,98 @@ class SpmmTuner:
 
         from ..utils import device_loop_prepare
 
-        staged = []  # (key, variant, plan, perm, inv_perm, fn, fargs, fut|exc)
+        def plan_key(variant: Variant, ordering: str):
+            cfg = variant.plan_config
+            if variant.impl == "hybrid":
+                return (ordering, "hybrid", cfg, variant.threshold)
+            if variant.stream_chunks:
+                return (ordering, cfg, variant.stream_chunks)
+            return (ordering, cfg)
+
+        def make_runner(variant, plan, perm, inv_perm):
+            if perm is None:
+                return (lambda c, p, v=variant: _run_variant(v, p, c)), (plan,)
+            return (
+                lambda c, p, pe, ip, v=variant: _run_variant(v, p, c, pe, ip),
+                (plan, perm, inv_perm),
+            )
+
+        candidates = [
+            (f"{o}|{v.key()}", v, o) for o in reorderings for v in space
+        ]
         pool = ThreadPoolExecutor(max_workers=4) if parallel_compile else None
+        futs: dict[str, object] = {}
         try:
-            for ordering in reorderings:
-                for variant in space:
-                    key = f"{ordering}|{variant.key()}"
+            if pool is not None:
+                # compile-ahead needs every plan resident up front —
+                # only worthwhile on hosts with a local compiler
+                for key, variant, ordering in candidates:
                     try:
                         plan = plan_for_variant(variant, ordering)
-                        perm, inv_perm = perm_arrays(ordering)
-                        if perm is None:
-                            fn = lambda c, p, v=variant: _run_variant(v, p, c)
-                            fargs = (plan,)
-                        else:
-                            fn = lambda c, p, pe, ip, v=variant: _run_variant(
-                                v, p, c, pe, ip
-                            )
-                            fargs = (plan, perm, inv_perm)
-                        fut = (
-                            pool.submit(device_loop_prepare, fn, feat, *fargs)
-                            if pool is not None
-                            else None
+                        fn, fargs = make_runner(
+                            variant, plan, *perm_arrays(ordering)
                         )
-                        staged.append(
-                            (key, variant, plan, ordering, perm, inv_perm, fn, fargs, fut)
+                        futs[key] = pool.submit(
+                            device_loop_prepare, fn, feat, *fargs
                         )
-                    except Exception as e:  # invalid geometry -> skip, like
-                        # the reference's return-code filter (tuner.py:108-116)
+                    except Exception as e:
                         if verbose:
                             print(f"voltrix_tpu tune: {key} invalid: {e}")
                         results[key] = float("inf")
 
             skipped = 0
-            for key, variant, plan, ordering, perm, inv_perm, fn, fargs, fut in staged:
+            for i, (key, variant, ordering) in enumerate(candidates):
+                if key in results:  # failed at compile-ahead
+                    continue
                 if (
                     budget_s is not None
                     and best is not None
                     and time.perf_counter() - t_begin > budget_s
                 ):
                     skipped += 1
-                    if fut is not None:
-                        fut.cancel()
+                    if key in futs:
+                        futs[key].cancel()
                     continue
+                pk = plan_key(variant, ordering)
                 try:
-                    compiled = fut.result() if fut is not None else None
+                    # lazy plan build in serial mode: only this candidate's
+                    # plan is device-resident (huge-graph tunes OOM'd when
+                    # every candidate's plan was staged up front)
+                    plan = plan_for_variant(variant, ordering)
+                    fn, fargs = make_runner(
+                        variant, plan, *perm_arrays(ordering)
+                    )
+                    compiled = futs[key].result() if key in futs else None
                     # device_loop_bench auto-scales the loop window, so
                     # sub-ms candidates need no special re-timing
                     t = device_loop_bench(
                         fn, feat, *fargs,
                         iters=iters, trials=2, compiled=compiled,
                     )
-                except Exception as e:  # invalid candidate -> skip
+                except Exception as e:  # invalid candidate -> skip, like
+                    # the reference's return-code filter (tuner.py:108-116)
                     if verbose:
                         print(f"voltrix_tpu tune: {key} invalid: {e}")
                     results[key] = float("inf")
-                    continue
-                results[key] = t
-                if verbose:
-                    print(f"voltrix_tpu tune: {key} -> {t:.3f} ms")
-                if best is None or t < best[0]:
-                    best = (t, variant, plan, ordering, perm, inv_perm)
+                    t = None
+                if t is not None:
+                    results[key] = t
+                    if verbose:
+                        print(f"voltrix_tpu tune: {key} -> {t:.3f} ms")
+                    if best is None or t < best[0]:
+                        best = (t, variant, plan, ordering, *perm_arrays(ordering))
+                # evict device plans no remaining candidate shares and the
+                # current best does not own (multi-GB residency otherwise)
+                if pool is None:
+                    remaining = {
+                        plan_key(v, o) for _, v, o in candidates[i + 1 :]
+                    }
+                    best_pk = (
+                        plan_key(best[1], best[3]) if best is not None else None
+                    )
+                    for k in list(plans):
+                        if k != best_pk and k not in remaining:
+                            del plans[k]
             if skipped and verbose:
                 print(
                     f"voltrix_tpu tune: budget {budget_s:.1f}s exhausted, "
