@@ -260,6 +260,74 @@ def _numpy_preprocess(
     )
 
 
+def csr_transpose(indptr, indices, num_nodes: int, values=None,
+                  num_cols: int | None = None):
+    """CSR(A) -> CSR(A^T) on the host (counting sort, no scipy).
+
+    A is (num_nodes, span) with span = num_cols or num_nodes. Returns
+    (indptr_t, indices_t, values_t) for the (span, num_nodes) transpose;
+    values_t is None when values is None. Together with
+    `csr_preprocess(..., values=...)` this builds the transpose plan a
+    weighted training step needs (`ops.spmm_weighted_ad`): the reference
+    is inference-only and binary-only (bmat_kernels.cuh:16-20), so both
+    the value plane and its backward are TPU-side extensions."""
+    indptr = np.asarray(indptr, dtype=np.int64)
+    indices = np.asarray(indices, dtype=np.int64)
+    span = num_cols if num_cols is not None else num_nodes
+    deg = np.diff(indptr)
+    rows = np.repeat(np.arange(num_nodes, dtype=np.int64), deg)
+    order = np.argsort(indices, kind="stable")  # stable keeps rows sorted
+    indptr_t = np.zeros(span + 1, dtype=np.int64)
+    np.cumsum(np.bincount(indices, minlength=span), out=indptr_t[1:])
+    values_t = (
+        None if values is None else np.asarray(values, np.float32)[order]
+    )
+    return indptr_t, rows[order], values_t
+
+
+def edge_slot_map(plan: SpmmPlan, indptr, indices) -> np.ndarray:
+    """Flat index into `plan.values` for every CSR edge.
+
+    Derived from the plan itself (hind + bitmask), not by re-running the
+    layout pass, so it stays correct under preprocessing changes. With
+    `slots = edge_slot_map(plan, indptr, indices)`, a differentiable
+    value plane is built inside jit from per-edge parameters `w`:
+
+        plane = jnp.zeros(tb * H * K).at[slots].add(w).reshape(tb, H, K)
+        out = spmm(dataclasses.replace(plan, values=plane), feat)
+
+    Duplicate (row, col) edges share a slot, so `.add` reproduces the
+    duplicate-summing CSR convention of `csr_preprocess(values=...)`.
+    This is the hook for learned edge weights (GAT-style attention,
+    learned normalizations) — gradients flow through the scatter."""
+    cfg = plan.config
+    assert cfg.gather_segment == 1 and not cfg.cluster_cols
+    W, K = cfg.block_h, cfg.block_w
+    span = plan.source_rows
+    bm = np.asarray(plan.bitmask)
+    hind = np.asarray(plan.hind).astype(np.int64)
+    wob = np.asarray(plan.window_of_block).astype(np.int64)
+    # real lanes carry at least one presence bit; padding lanes are 0
+    b_idx, l_idx = np.nonzero((bm != 0).any(axis=1))
+    keys = wob[b_idx] * span + hind[b_idx, l_idx]
+    order = np.argsort(keys)
+    keys_sorted = keys[order]
+    lane_flat = (b_idx * K + l_idx)[order]
+
+    indptr = np.asarray(indptr, dtype=np.int64)
+    indices = np.asarray(indices, dtype=np.int64)
+    rows = np.repeat(
+        np.arange(indptr.shape[0] - 1, dtype=np.int64), np.diff(indptr)
+    )
+    ekeys = (rows // W) * span + indices
+    pos = np.searchsorted(keys_sorted, ekeys)
+    assert pos.shape[0] == 0 or bool(
+        (keys_sorted[np.minimum(pos, keys_sorted.shape[0] - 1)] == ekeys).all()
+    ), "edge not represented in plan (wrong plan for this CSR?)"
+    bl = lane_flat[pos] if pos.shape[0] else np.zeros(0, np.int64)
+    return (bl // K) * (W * K) + (rows % W) * K + (bl % K)
+
+
 def expand_bitmask_np(bitmask: np.ndarray, block_h: int) -> np.ndarray:
     """Expand a row-packed bitmask (B, words, K) -> dense 0/1 (B, block_h, K)."""
     bitmask = np.asarray(bitmask, dtype=np.uint32)

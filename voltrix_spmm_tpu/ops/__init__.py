@@ -5,7 +5,11 @@ from .bitmask import expand_bitmask, expand_bitmask_batched
 from .autodiff import spmm_ad
 from .quant import spmm_pallas_int8, quantize_rows, dequantize_rows
 from .hybrid import spmm_pallas_hybrid
-from .weighted import spmm_pallas_weighted
+from .weighted import (
+    spmm_pallas_weighted,
+    spmm_weighted_ad,
+    spmm_weighted_dvalues,
+)
 
 
 def spmm_streamed(plan, feat, *, num_chunks: int = 8, subtile=False, **kwargs):
@@ -70,6 +74,8 @@ __all__ = [
     "spmm_pallas_int8",
     "spmm_pallas_hybrid",
     "spmm_pallas_weighted",
+    "spmm_weighted_ad",
+    "spmm_weighted_dvalues",
     "spmm_streamed",
     "quantize_rows",
     "dequantize_rows",

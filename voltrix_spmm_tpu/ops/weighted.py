@@ -146,3 +146,174 @@ def spmm_pallas_weighted(
         out = jnp.where(nonempty[:, None], out, 0.0)
 
     return out[:out_rows, :d].astype(out_dtype)
+
+
+def _dvalues_kernel(
+    wob_ref,  # scalar-prefetch: int32 (num_groups,)
+    g_ref,  # (block_h, block_d) float32 upstream gradient tile
+    xg_ref,  # (unroll * K, block_d) float32 gathered features
+    bm_ref,  # (unroll, words, K) uint32 presence bitmask
+    out_ref,  # (unroll, block_h, K) float32 dV tiles
+    *,
+    block_h: int,
+    block_w: int,
+    precision,
+    unroll: int,
+):
+    """dV[b] = mask[b] * (g_window @ xg[b]^T), accumulated over feature
+    chunks (grid dim 1, `arbitrary`, revisits the same output tile)."""
+    from .bitmask import expand_bitmask
+
+    c = pl.program_id(1)
+    g = g_ref[...]
+    for u in range(unroll):
+        contrib = jax.lax.dot_general(
+            g,
+            xg_ref[u * block_w : (u + 1) * block_w, :],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )  # (block_h, K)
+        # gradient exists only where an edge exists: slots the forward
+        # masked out must stay zero so the edge-slot scatter roundtrip
+        # (format.edge_slot_map) is exact
+        contrib *= expand_bitmask(bm_ref[u], block_h, jnp.float32)
+
+        @pl.when(c == 0)
+        def _(u=u, contrib=contrib):
+            out_ref[u] = contrib
+
+        @pl.when(c != 0)
+        def _(u=u, contrib=contrib):
+            out_ref[u] += contrib
+
+
+def spmm_weighted_dvalues(
+    plan: SpmmPlan,
+    feat: jax.Array,
+    g: jax.Array,
+    *,
+    block_d: int | None = None,
+    precision=None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """d/d(plan.values) of `sum(spmm_pallas_weighted(plan, feat) * g)`:
+    a (total_blocks, block_h, block_w) plane, zero off-edge.
+
+    Per block b in window w: dV[b, r, l] = g[w*H + r, :] . feat[hind[b,
+    l], :] where the bitmask has an edge — the outer-product structure
+    makes this another MXU pass (g_tile @ xg_tile^T), streamed over the
+    same gathered tiles as the forward."""
+    n, d = feat.shape
+    assert n == plan.source_rows, (n, plan.source_rows)
+    cfg = plan.config
+    block_h, block_w, words = cfg.block_h, cfg.block_w, cfg.words_per_col
+    if plan.total_blocks == 0:
+        return jnp.zeros((0, block_h, block_w), jnp.float32)
+    assert block_h % 32 == 0 and block_w % 128 == 0
+    if interpret is None:
+        interpret = _interpret_default()
+
+    d_pad = _round_up(d, 128)
+    if block_d is None:
+        block_d = min(d_pad, 512)
+    d_pad = _round_up(d_pad, block_d)
+    feat = feat.astype(jnp.float32)
+    if d_pad != d:
+        feat = jnp.pad(feat, ((0, 0), (0, d_pad - d)))
+    num_chunks = d_pad // block_d
+
+    g = g.astype(jnp.float32)
+    if g.shape != (plan.padded_nodes, d_pad):
+        g = jnp.pad(
+            g, ((0, plan.padded_nodes - g.shape[0]), (0, d_pad - g.shape[1]))
+        )
+
+    hind_flat = jnp.asarray(plan.hind).reshape(-1)
+    xg = jnp.take(feat, hind_flat, axis=0, mode="clip")
+
+    unroll = cfg.block_unroll
+    assert plan.total_blocks % unroll == 0
+    num_groups = plan.total_blocks // unroll
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_groups, num_chunks),
+        in_specs=[
+            pl.BlockSpec((block_h, block_d), lambda b, c, wob: (wob[b], c)),
+            pl.BlockSpec((unroll * block_w, block_d), lambda b, c, wob: (b, c)),
+            pl.BlockSpec((unroll, words, block_w), lambda b, c, wob: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (unroll, block_h, block_w), lambda b, c, wob: (b, 0, 0)
+        ),
+    )
+    kernel = functools.partial(
+        _dvalues_kernel,
+        block_h=block_h,
+        block_w=block_w,
+        precision=precision,
+        unroll=unroll,
+    )
+    flops = 2 * plan.total_blocks * block_h * block_w * d_pad
+    bytes_accessed = (
+        xg.size * 4
+        + plan.padded_nodes * d_pad * 4
+        + plan.total_blocks * block_h * block_w * 4
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (plan.total_blocks, block_h, block_w), jnp.float32
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(plan.window_of_block)[::unroll],
+        g,
+        xg,
+        jnp.asarray(plan.bitmask),
+    )
+
+
+@jax.custom_vjp
+def spmm_weighted_ad(plan: SpmmPlan, plan_t: SpmmPlan, feat):
+    """Weighted SpMM with gradients for BOTH feat and the value plane.
+
+    `plan_t` must encode A^T with transposed values (build its CSR with
+    `format.csr_transpose(..., values=...)`). Backward:
+      d/dfeat   = (A o V)^T @ g   — a weighted SpMM with plan_t;
+      d/dvalues = mask * (g @ feat^T) per block (spmm_weighted_dvalues),
+    delivered as the cotangent of `plan.values` — differentiate through
+    `dataclasses.replace(plan, values=...)` or feed per-edge parameters
+    via `format.edge_slot_map`."""
+    return spmm_pallas_weighted(plan, feat)
+
+
+def _weighted_fwd(plan, plan_t, feat):
+    return spmm_pallas_weighted(plan, feat), (plan, plan_t, feat)
+
+
+def _weighted_bwd(res, g):
+    import dataclasses
+
+    from .autodiff import _zero_cotangent
+
+    plan, plan_t, feat = res
+    dfeat = spmm_pallas_weighted(plan_t, g.astype(feat.dtype)).astype(
+        feat.dtype
+    )
+    dvalues = spmm_weighted_dvalues(plan, feat, g)
+    dplan = dataclasses.replace(
+        jax.tree.map(_zero_cotangent, plan), values=dvalues
+    )
+    return (dplan, jax.tree.map(_zero_cotangent, plan_t), dfeat)
+
+
+spmm_weighted_ad.defvjp(_weighted_fwd, _weighted_bwd)
