@@ -262,6 +262,51 @@ def test_ring_forward_only_grad_raises(rng):
         jax.grad(lambda xj: jnp.sum(ring_sharded_spmm(plan, xj, mesh)))(x)
 
 
+def test_ring_train_step_decreases_loss_and_matches_allgather(rng):
+    """The ring trainer (ROADMAP #7) must train, and its loss must match
+    the all_gather trainer's on the same problem (identical math,
+    different comm schedule)."""
+    from jax.sharding import Mesh
+    from voltrix_spmm_tpu.models import init_gcn
+    from voltrix_spmm_tpu.parallel import (
+        build_ring_sharded_plan,
+        build_row_sharded_plan,
+        make_ring_train_step,
+        make_row_sharded_train_step,
+    )
+
+    n, d, hidden, classes, ndev = 256, 16, 8, 4, 4
+    a = sp.random(n, n, density=0.05, format="csr", random_state=rng)
+    plan = build_ring_sharded_plan(
+        a.indptr, a.indices, n, ndev, CFG, with_transpose=True
+    )
+    mesh = Mesh(np.asarray(jax.devices()[:ndev]), ("data",))
+    n_pad = plan.num_nodes
+    deg = np.maximum(np.diff(a.indptr).astype(np.float32), 1.0)
+    inv_deg = np.zeros(n_pad, np.float32)
+    inv_deg[:n] = 1.0 / deg
+    x = np.zeros((n_pad, d), np.float32)
+    x[:n] = rng.standard_normal((n, d))
+    y = np.full(n_pad, -100, np.int32)
+    y[:n] = rng.integers(0, classes, size=n)
+    params = init_gcn(jax.random.PRNGKey(0), d, hidden, classes)
+
+    step = make_ring_train_step(plan, mesh, inv_deg, lr=5e-2)
+    p, loss0 = step(params, jnp.asarray(x), jnp.asarray(y))
+    for _ in range(4):
+        p, loss = step(p, jnp.asarray(x), jnp.asarray(y))
+    assert np.isfinite(float(loss)) and float(loss) < float(loss0)
+
+    # one-step parity vs the all_gather trainer (contiguous shards share
+    # the same row layout, so losses must agree to numeric tolerance)
+    rs_plan = build_row_sharded_plan(
+        a.indptr, a.indices, n, ndev, CFG, with_transpose=True
+    )
+    rs_step = make_row_sharded_train_step(rs_plan, mesh, inv_deg, lr=5e-2)
+    _, rs_loss0 = rs_step(params, jnp.asarray(x), jnp.asarray(y))
+    np.testing.assert_allclose(float(loss0), float(rs_loss0), rtol=1e-4)
+
+
 def test_balanced_training_matches_unbalanced(rng):
     """Degree-balanced training computes the SAME model as contiguous
     sharding (advisor r1: the permuted layer-1 activations used to be

@@ -139,6 +139,43 @@ def test_default_space_d_pruning():
     assert any(v.impl == "int8" for v in default_space())  # unknown d: keep
 
 
+def test_default_space_coverage_gate():
+    # fused bulk-DMA candidates only where coverage waste is low: on
+    # scattered graphs the seg=128 plan is GBs and 3-4x slower (measured
+    # r2: rmat-17 coverage 1.75 rows/nnz)
+    dense = default_space(d=256, coverage128=0.1)
+    assert any(
+        v.impl == "fused" and v.gather_segment == 128 for v in dense
+    )
+    scattered = default_space(d=256, coverage128=1.75)
+    assert not any(v.impl == "fused" for v in scattered)
+    unknown = default_space(d=256)  # no coverage info: keep the candidate
+    assert any(v.impl == "fused" for v in unknown)
+
+
+def test_coverage_expansion_values():
+    from voltrix_spmm_tpu.format.preprocess import coverage_expansion
+
+    n = 16384
+    # worst case: one row, every neighbor in its own 128-aligned segment
+    indptr = np.zeros(n + 1, np.int64)
+    indptr[1:] = 128
+    scattered = np.arange(128, dtype=np.int64) * 128
+    assert coverage_expansion(indptr, scattered, n, 2048, 128) == 128.0
+    # best case: one row with a dense 16384-neighbor run -> expansion 1.0
+    indptr2 = np.zeros(n + 1, np.int64)
+    indptr2[1:] = n
+    assert (
+        coverage_expansion(indptr2, np.arange(n, dtype=np.int64), n, 2048, 128)
+        == 1.0
+    )
+    # empty graph
+    assert (
+        coverage_expansion(np.zeros(n + 1, np.int64), np.zeros(0, np.int64), n, 2048, 128)
+        == 0.0
+    )
+
+
 def test_hash_tag_skips_content_hash(problem, tmp_path, monkeypatch):
     """With an explicit hash_tag the tuner must never touch the matrix
     content hash (the reference's tag-beats-hash protocol,

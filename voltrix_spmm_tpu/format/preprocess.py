@@ -260,6 +260,24 @@ def _numpy_preprocess(
     )
 
 
+def coverage_expansion(
+    indptr, indices, num_nodes: int, block_h: int, seg: int
+) -> float:
+    """Gather rows per nnz for a coverage plan (gather_segment=seg) —
+    computed straight from the CSR, no plan build (a full coverage plan
+    on a scattered graph can be GBs; the tuner gates fused candidates on
+    this instead, see tuner.default_space)."""
+    indptr = np.asarray(indptr, dtype=np.int64)
+    indices = np.asarray(indices, dtype=np.int64)
+    nnz = int(indices.shape[0])
+    if nnz == 0:
+        return 0.0
+    rows = np.repeat(np.arange(num_nodes, dtype=np.int64), np.diff(indptr))
+    nseg = _cdiv(num_nodes, seg)
+    keys = (rows // block_h) * nseg + indices // seg
+    return float(np.unique(keys).shape[0] * seg) / nnz
+
+
 def csr_transpose(indptr, indices, num_nodes: int, values=None,
                   num_cols: int | None = None):
     """CSR(A) -> CSR(A^T) on the host (counting sort, no scipy).

@@ -11,12 +11,18 @@ from .row_sharded import (
     row_sharded_spmm,
 )
 from .row_sharded_gcn import make_row_sharded_train_step
-from .ring import RingShardedPlan, build_ring_sharded_plan, ring_sharded_spmm
+from .ring import (
+    RingShardedPlan,
+    build_ring_sharded_plan,
+    ring_sharded_spmm,
+    make_ring_train_step,
+)
 
 __all__ = [
     "RingShardedPlan",
     "build_ring_sharded_plan",
     "ring_sharded_spmm",
+    "make_ring_train_step",
     "make_mesh",
     "sharded_spmm",
     "sharded_gcn_forward",

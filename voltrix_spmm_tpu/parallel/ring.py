@@ -279,3 +279,53 @@ def ring_sharded_spmm(
     arrs = [jnp.asarray(a) for a in arrs]
     xr = feat.reshape(plan.ndev, plan.shard_rows, d)
     return f(*arrs, xr).reshape(plan.num_nodes, d)
+
+
+def make_ring_train_step(
+    plan: RingShardedPlan,
+    mesh: Mesh,
+    inv_deg,  # (num_nodes,) or (num_nodes, 1) float32: 1/max(degree, 1)
+    lr: float = 1e-2,
+    axis: str = "data",
+):
+    """Full-graph GCN training step over the ring-overlapped SpMM
+    (ROADMAP #7): each of the two aggregation layers runs the ppermute
+    ring forward and, through `ring_sharded_spmm`'s custom VJP, the
+    reduce-scatter ring backward — ICI transfer hidden behind block
+    SpMM compute in BOTH directions, vs the all_gather trainer
+    (row_sharded_gcn.py) which serializes gather and compute.
+
+    Returns jittable `(params, x, y) -> (params, loss)`; x is
+    (plan.num_nodes, D) row-sharded (pad rows zero), y (plan.num_nodes,)
+    int labels with -100 marking rows excluded from the loss."""
+    assert plan.tbt_max > 0, (
+        "build_ring_sharded_plan(..., with_transpose=True) required for "
+        "training (the backward runs the transpose-plan ring)"
+    )
+    import optax
+
+    invd = jnp.asarray(np.asarray(inv_deg, np.float32).reshape(-1, 1))
+
+    def forward(params, x):
+        h = invd * ring_sharded_spmm(plan, x, mesh, axis)
+        h = jax.nn.relu(h @ params["w1"] + params["b1"])
+        h = invd * ring_sharded_spmm(plan, h, mesh, axis)
+        return h @ params["w2"] + params["b2"]
+
+    def loss_fn(params, x, y):
+        logits = forward(params, x)
+        mask = y >= 0
+        losses = optax.softmax_cross_entropy_with_integer_labels(
+            logits, jnp.maximum(y, 0)
+        )
+        return jnp.sum(jnp.where(mask, losses, 0.0)) / jnp.maximum(
+            jnp.sum(mask), 1
+        )
+
+    @jax.jit
+    def run(params, x, y):
+        loss, grads = jax.value_and_grad(loss_fn)(params, x, y)
+        params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
+        return params, loss
+
+    return run

@@ -81,7 +81,10 @@ class Variant:
 
 
 def default_space(
-    accurate: bool = False, d: int | None = None, nnz: int | None = None
+    accurate: bool = False,
+    d: int | None = None,
+    nnz: int | None = None,
+    coverage128: float | None = None,
 ) -> list[Variant]:
     """The standard tuning space (the reference's models 0/1/2 analogue).
 
@@ -99,7 +102,15 @@ def default_space(
     window-chunked streamed variants join the space — on reddit-class
     graphs they are the only single-chip candidates that fit (see
     format/stream.py).
-    """
+
+    coverage128 (gather rows per nnz of an h2048/seg128 coverage plan,
+    `format.coverage_expansion`) gates the fused bulk-DMA candidates:
+    at seg=128 every block is ONE 128-row DMA and the kernel reads X
+    exactly once (pregather pays ~3x the volume: gather write + kernel
+    re-read + source read), so it wins wherever coverage waste is low —
+    measured on v5e d256: dense-4k 0.058 vs 0.078 ms, er-8k 0.225 vs
+    0.403 ms. On scattered graphs coverage explodes (rmat-17: 1.75
+    rows/nnz, 3.7x slower, GB-scale plan) — gated out at > 0.5."""
     huge = nnz is not None and d is not None and nnz * d * 4 > 4 * 2**30
     if huge:
         # plan memory also matters at this scale: shorter windows keep
@@ -123,9 +134,11 @@ def default_space(
         Variant("pregather", block_h=2048, block_unroll=4),
         Variant("pregather", block_h=1024, block_unroll=4, subtile=True),
         Variant("pregather", block_h=2048, block_unroll=4, subtile=True),
-        Variant("fused", block_h=128, gather_segment=8),
         Variant("hybrid", block_h=128, gather_segment=8),
     ]
+    fused_ok = coverage128 is None or coverage128 <= 0.5
+    if fused_ok:
+        space.append(Variant("fused", block_h=2048, gather_segment=128))
     if not accurate:
         # bf16 *storage* for the gathered rows (f32 accumulation) halves
         # gather volume; bf16 MXU compute_dtype measured strictly worse
@@ -145,6 +158,17 @@ def default_space(
                 feat_dtype="bfloat16",
             ),
         ]
+        if fused_ok:
+            # halves the in-kernel DMA stream (the dominant cost of the
+            # fused path); measured 1.3x on er-8k d256, neutral elsewhere
+            space.append(
+                Variant(
+                    "fused",
+                    block_h=2048,
+                    gather_segment=128,
+                    compute_dtype="bfloat16",
+                )
+            )
         if d is None or d >= 1024:
             space.append(Variant("int8", block_h=1024, block_unroll=4))
     return space
@@ -336,7 +360,15 @@ class SpmmTuner:
         import jax.numpy as jnp
 
         if space is None:
-            space = default_space(d=int(feat.shape[1]), nnz=len(indices))
+            from ..format.preprocess import coverage_expansion
+
+            space = default_space(
+                d=int(feat.shape[1]),
+                nnz=len(indices),
+                coverage128=coverage_expansion(
+                    indptr, indices, num_nodes, 2048, 128
+                ),
+            )
         verbose = env_flag(const.PRINT_AUTOTUNE_FLAG)
         if budget_s is None:
             env = os.environ.get(const.TUNE_BUDGET_FLAG, "")
