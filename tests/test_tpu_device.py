@@ -111,6 +111,88 @@ def test_weighted_device(problem):
     _check(out, aw @ feat, tol=1e-3)
 
 
+def test_fused_bulk_dma_device(problem):
+    # the seg=128 winner config (one 128-row bulk DMA per block)
+    from voltrix_spmm_tpu.ops import spmm_pallas_fused
+
+    a, feat, oracle = problem
+    cfg = PlanConfig(2048, 128, gather_segment=128)
+    plan = csr_preprocess(a.indptr, a.indices, a.shape[0], cfg).device()
+    _check(spmm_pallas_fused(plan, jnp.asarray(feat)), oracle)
+    out = spmm_pallas_fused(
+        plan, jnp.asarray(feat), compute_dtype=jnp.bfloat16
+    )
+    assert relative_error(oracle, np.asarray(out, np.float32)) <= 1e-2
+
+
+def test_weighted_backward_device(problem):
+    from voltrix_spmm_tpu.format import csr_transpose, edge_slot_map
+    from voltrix_spmm_tpu.ops import spmm_weighted_ad
+
+    a, feat, _ = problem
+    n = a.shape[0]
+    rng = np.random.default_rng(5)
+    aw = a.copy()
+    aw.data = rng.standard_normal(aw.nnz).astype(np.float32)
+    cfg = PlanConfig(128, 128)
+    plan = csr_preprocess(
+        aw.indptr, aw.indices, n, cfg, values=aw.data
+    ).device()
+    ptr_t, idx_t, vals_t = csr_transpose(aw.indptr, aw.indices, n, aw.data)
+    plan_t = csr_preprocess(ptr_t, idx_t, n, cfg, values=vals_t).device()
+    g = rng.standard_normal(feat.shape).astype(np.float32)
+
+    dfeat = jax.grad(
+        lambda x: jnp.sum(spmm_weighted_ad(plan, plan_t, x) * g)
+    )(jnp.asarray(feat))
+    _check(np.asarray(dfeat), aw.T @ g, tol=1e-3)
+
+    import dataclasses
+
+    dvals = jax.grad(
+        lambda v: jnp.sum(
+            spmm_weighted_ad(
+                dataclasses.replace(plan, values=v), plan_t, jnp.asarray(feat)
+            )
+            * g
+        )
+    )(plan.values)
+    slots = edge_slot_map(plan, aw.indptr, aw.indices)
+    rows = np.repeat(np.arange(n), np.diff(aw.indptr))
+    want = np.sum(g[rows] * feat[aw.indices], axis=1)
+    _check(np.asarray(dvals).reshape(-1)[slots], want, tol=1e-3)
+
+
+def test_gat_device(problem):
+    from voltrix_spmm_tpu.models import (
+        build_gat_graph,
+        gat_attention_aggregate,
+    )
+
+    a, feat, _ = problem
+    n = a.shape[0]
+    al = ((a + sp.eye(n, format="csr")) != 0).astype(np.float32).tocsr()
+    g = build_gat_graph(al.indptr, al.indices, n, PlanConfig(64, 128))
+    rng = np.random.default_rng(9)
+    f = feat.shape[1]
+    a_src = rng.standard_normal(f).astype(np.float32)
+    a_dst = rng.standard_normal(f).astype(np.float32)
+    out = np.asarray(
+        gat_attention_aggregate(
+            g, jnp.asarray(feat), jnp.asarray(a_src), jnp.asarray(a_dst)
+        )
+    )
+    # dense oracle
+    s, t = feat @ a_src, feat @ a_dst
+    e = s[:, None] + t[None, :]
+    e = np.where(e > 0, e, 0.2 * e)
+    mask = al.toarray() != 0
+    e = np.where(mask, e, -np.inf)
+    alpha = np.exp(e - e.max(axis=1, keepdims=True)) * mask
+    alpha /= np.maximum(alpha.sum(axis=1, keepdims=True), 1e-9)
+    _check(out, alpha @ feat, tol=1e-3)
+
+
 def test_empty_windows_device():
     from voltrix_spmm_tpu.ops import spmm_pallas
 

@@ -2,6 +2,15 @@ from .graph import GraphData, build_graph, aggregate
 from .gcn import init_gcn, gcn_forward, gcn_loss, make_train_step
 from .sage import init_sage, sage_forward
 from .gin import init_gin, gin_forward
+from .gat import (
+    GatGraph,
+    build_gat_graph,
+    init_gat,
+    gat_forward,
+    gat_loss,
+    gat_attention_aggregate,
+    edge_softmax,
+)
 
 __all__ = [
     "GraphData",
@@ -15,4 +24,11 @@ __all__ = [
     "sage_forward",
     "init_gin",
     "gin_forward",
+    "GatGraph",
+    "build_gat_graph",
+    "init_gat",
+    "gat_forward",
+    "gat_loss",
+    "gat_attention_aggregate",
+    "edge_softmax",
 ]
