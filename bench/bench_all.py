@@ -53,9 +53,16 @@ def methods_registry():
         return (lambda x, p: spmm_pallas(p, x)), plan
 
     def voltrix_fused(a, feat):
-        plan = csr_preprocess(
-            a.indptr, a.indices, a.shape[0], PlanConfig(128, 128, 8)
-        ).device()
+        # the winning bulk-DMA config (one 128-row DMA per block) where
+        # coverage allows; fall back to the exact-lane h128/s8 pipeline
+        # on scattered graphs (coverage gate, see tuner.default_space)
+        from voltrix_spmm_tpu.format.preprocess import coverage_expansion
+
+        cov = coverage_expansion(a.indptr, a.indices, a.shape[0], 2048, 128)
+        cfg = (
+            PlanConfig(2048, 128, 128) if cov <= 0.5 else PlanConfig(128, 128, 8)
+        )
+        plan = csr_preprocess(a.indptr, a.indices, a.shape[0], cfg).device()
         return (lambda x, p: spmm_pallas_fused(p, x)), plan
 
     def bcoo(a, feat):

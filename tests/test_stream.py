@@ -68,6 +68,37 @@ def test_slice_plan_geometry(problem):
         assert s.source_rows == plan.source_rows  # gather space unchanged
 
 
+def test_streamed_preprocess_matches_sliced_full(problem):
+    """csr_preprocess_streamed (per-chunk build + async upload, ROADMAP
+    #9) must produce the same sub-plans as slicing the full-build plan."""
+    from voltrix_spmm_tpu.format.stream import csr_preprocess_streamed
+
+    a, feat, oracle = problem
+    cfg = PlanConfig(64, 128, block_unroll=2)
+    full = csr_preprocess(a.indptr, a.indices, a.shape[0], cfg)
+    want = slice_plan_windows(full, 4)
+    got = csr_preprocess_streamed(
+        a.indptr, a.indices, a.shape[0], cfg, num_chunks=4, to_device=False
+    )
+    assert len(got) == len(want)
+    for s_got, s_want in zip(got, want):
+        assert s_got.num_windows == s_want.num_windows
+        assert s_got.num_nodes == s_want.num_nodes
+        assert s_got.source_rows == s_want.source_rows
+        np.testing.assert_array_equal(
+            np.asarray(s_got.bitmask), np.asarray(s_want.bitmask)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(s_got.hind), np.asarray(s_want.hind)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(s_got.block_ptr), np.asarray(s_want.block_ptr)
+        )
+    # and the streamed dispatch over them is correct end to end
+    out = np.asarray(spmm_streamed(got, jnp.asarray(feat)))
+    np.testing.assert_allclose(out, oracle, rtol=1e-5, atol=1e-4)
+
+
 def test_tuner_streamed_variant(problem, tmp_path):
     from voltrix_spmm_tpu.tuner import SpmmTuner, Variant
 

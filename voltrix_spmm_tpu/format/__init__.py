@@ -8,6 +8,7 @@ from .preprocess import (
     plan_stats,
 )
 from .hybrid import HybridPlan, csr_preprocess_hybrid, hybrid_stats
+from .stream import csr_preprocess_streamed, slice_plan_windows
 
 __all__ = [
     "SpmmPlan",
@@ -21,4 +22,6 @@ __all__ = [
     "HybridPlan",
     "csr_preprocess_hybrid",
     "hybrid_stats",
+    "csr_preprocess_streamed",
+    "slice_plan_windows",
 ]

@@ -65,6 +65,53 @@ def slice_plan_windows(plan: SpmmPlan, num_chunks: int) -> list[SpmmPlan]:
     return subs
 
 
+def csr_preprocess_streamed(
+    indptr,
+    indices,
+    num_nodes: int,
+    config,
+    num_chunks: int = 8,
+    backend: str = "auto",
+    to_device: bool = True,
+    num_cols: int | None = None,
+) -> list[SpmmPlan]:
+    """Build the plan chunk-by-chunk, overlapping CPU preprocessing with
+    the HBM upload (ROADMAP #9: at rmat-19 scale the multi-GB plan
+    transfer dominates cold start when it only starts after the full
+    host build).
+
+    Each chunk is a window-aligned row range preprocessed independently
+    (windows never share state), `jax.device_put` is asynchronous, so
+    chunk c uploads while chunk c+1 builds on the CPU. Returns the same
+    list-of-sub-plans `ops.spmm_streamed` consumes; output equals
+    `slice_plan_windows(csr_preprocess(...), num_chunks)` (parity
+    tested)."""
+    from .preprocess import csr_preprocess
+
+    indptr = np.asarray(indptr, dtype=np.int64)
+    indices = np.asarray(indices, dtype=np.int64)
+    span = num_cols if num_cols is not None else num_nodes
+    W = config.block_h
+    nw = max(-(-num_nodes // W), 1)
+    num_chunks = max(1, min(num_chunks, nw))
+    per = -(-nw // num_chunks)
+
+    subs: list[SpmmPlan] = []
+    for c in range(num_chunks):
+        r0 = c * per * W
+        if r0 >= num_nodes:
+            break
+        r1 = min((c + 1) * per * W, num_nodes)
+        local_ptr = indptr[r0 : r1 + 1] - indptr[r0]
+        local_idx = indices[indptr[r0] : indptr[r1]]
+        sub = csr_preprocess(
+            local_ptr, local_idx, r1 - r0, config,
+            backend=backend, num_cols=span,
+        )
+        subs.append(sub.device() if to_device else sub)
+    return subs
+
+
 def estimate_gather_bytes(plan_or_nnz, d: int, itemsize: int = 4) -> int:
     """Rough peak-gather estimate used to decide when streaming is
     needed: the materialized gather is gather_rows x d x itemsize."""

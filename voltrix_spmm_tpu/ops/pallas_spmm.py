@@ -54,6 +54,22 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _pick_block_d(
+    d_pad: int, block_h: int, max_tile_bytes: int, start: int = 512
+) -> int:
+    """Default feature-chunk width bounded by the VMEM output tile.
+
+    Mosaic's scoped-vmem limit is 16 MB and the pipelined kernels stage
+    the (block_h, block_d) f32 output tile plus double-buffered inputs;
+    h2048 x 512 f32 measured 17.01M scoped — over the limit on current
+    toolchains. Shrinking block_d adds bitmask re-reads (one per chunk)
+    but is the only knob that keeps tall windows compiling at d >= 512."""
+    bd = min(d_pad, start)
+    while bd > 128 and block_h * bd * 4 > max_tile_bytes:
+        bd //= 2
+    return bd
+
+
 def _spmm_block_kernel(
     wob_ref,  # scalar-prefetch: int32 (num_groups,) window of each group
     bitmask_ref,  # (unroll, words, K) uint32
@@ -197,7 +213,10 @@ def spmm_pallas(
 
     d_pad = _round_up(d, 128)
     if block_d is None:
-        block_d = min(d_pad, 512)
+        # 2 MB output tile: the pipeline also stages bitmask + gathered
+        # tiles double-buffered, and the 16 MB scoped-vmem budget is
+        # shared (h2048 x 512 f32 = 4 MB tile measured over the limit)
+        block_d = _pick_block_d(d_pad, block_h, 2 * 2**20)
     d_pad = _round_up(d_pad, block_d)
     if d_pad != d:
         feat = jnp.pad(feat, ((0, 0), (0, d_pad - d)))

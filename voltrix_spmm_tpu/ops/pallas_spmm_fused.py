@@ -35,7 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..format.plan import SpmmPlan
 from .bitmask import expand_bitmask
-from .pallas_spmm import _interpret_default, _round_up
+from .pallas_spmm import _interpret_default, _pick_block_d, _round_up
 
 
 def _fused_kernel(
@@ -165,7 +165,10 @@ def spmm_pallas_fused(
     compute_dtype = jnp.dtype(compute_dtype)
     d_pad = _round_up(d, 128)
     if block_d is None:
-        block_d = min(d_pad, 1024)
+        # 4 MB output tile cap (this kernel's manual scratch is small:
+        # 2 x (words, K) bitmask + 2 x (K, block_d) X buffers);
+        # h2048 x 1024 f32 = 8 MB measured over the scoped-vmem limit
+        block_d = _pick_block_d(d_pad, block_h, 4 * 2**20, start=1024)
     d_pad = _round_up(d_pad, block_d)
     num_chunks = d_pad // block_d
 

@@ -81,7 +81,9 @@ def spmm_pallas_int8(
 
     d_pad = _round_up(d, 128)
     if block_d is None:
-        block_d = min(d_pad, 512)
+        from .pallas_spmm import _pick_block_d
+
+        block_d = _pick_block_d(d_pad, block_h, 2 * 2**20)
     d_pad = _round_up(d_pad, block_d)
     num_chunks = d_pad // block_d
     if d_pad != d:

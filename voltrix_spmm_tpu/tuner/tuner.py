@@ -92,10 +92,13 @@ def default_space(
     (tf32-class accuracy, same class as the reference tensor cores)
     join the space.
 
-    d (feature width) prunes regime-inappropriate candidates: int8's
-    quantized stream only pays off once rows are >= 1 KB (measured: at
-    d=256 its 256-byte rows collapse XLA gather efficiency, 3x slower),
-    so it joins the space only at d >= 1024.
+    int8 is OUT of the default space at every d (measured r2: d=256 it
+    is 3x slower — 256-byte rows collapse XLA gather efficiency — and at
+    d=1024, where its 4x-thinner stream was expected to pay, it still
+    loses 1.3-1.6x on every regime: rmat-17 61.2 vs 37.2 ms, sbm-131k
+    50.3 vs 44.1, er-8k 2.21 vs 0.83). The kernel stays available
+    explicitly (`Variant("int8", ...)` / `spmm_pallas_int8`) for
+    memory-bound cases where even bf16 storage does not fit.
 
     nnz (edge count) gates the streamed fallbacks: when the worst-case
     materialized gather (nnz * d * 4 bytes) approaches device memory,
@@ -160,7 +163,8 @@ def default_space(
         ]
         if fused_ok:
             # halves the in-kernel DMA stream (the dominant cost of the
-            # fused path); measured 1.3x on er-8k d256, neutral elsewhere
+            # fused path); measured 1.3x on er-8k d256, and the winner
+            # at d512/d1024 (0.413/0.834 ms vs pregather 0.527/1.003)
             space.append(
                 Variant(
                     "fused",
@@ -169,8 +173,6 @@ def default_space(
                     compute_dtype="bfloat16",
                 )
             )
-        if d is None or d >= 1024:
-            space.append(Variant("int8", block_h=1024, block_unroll=4))
     return space
 
 
