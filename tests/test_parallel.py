@@ -262,6 +262,47 @@ def test_ring_forward_only_grad_raises(rng):
         jax.grad(lambda xj: jnp.sum(ring_sharded_spmm(plan, xj, mesh)))(x)
 
 
+def test_row_sharded_multihost_mesh(rng):
+    """Multi-host story (ROADMAP #8): the all_gather trainer runs on a
+    2D (host, chip) mesh with rows sharded over BOTH axes — the DCN x
+    ICI layout; collectives take the axis tuple. Loss must match the
+    flat single-axis mesh."""
+    from jax.sharding import Mesh
+    from voltrix_spmm_tpu.models import init_gcn
+    from voltrix_spmm_tpu.parallel import (
+        build_row_sharded_plan,
+        make_row_sharded_train_step,
+    )
+
+    n, d, hidden, classes, ndev = 256, 16, 8, 4, 8
+    a = sp.random(n, n, density=0.05, format="csr", random_state=rng)
+    plan = build_row_sharded_plan(
+        a.indptr, a.indices, n, ndev, CFG, with_transpose=True
+    )
+    n_pad = plan.num_nodes
+    deg = np.maximum(np.diff(a.indptr).astype(np.float32), 1.0)
+    inv_deg = np.zeros(n_pad, np.float32)
+    inv_deg[:n] = 1.0 / deg
+    x = np.zeros((n_pad, d), np.float32)
+    x[:n] = rng.standard_normal((n, d))
+    y = np.full(n_pad, -100, np.int32)
+    y[:n] = rng.integers(0, classes, size=n)
+    params = init_gcn(jax.random.PRNGKey(0), d, hidden, classes)
+
+    mesh2d = Mesh(
+        np.asarray(jax.devices()[:ndev]).reshape(2, 4), ("host", "chip")
+    )
+    step2d = make_row_sharded_train_step(
+        plan, mesh2d, inv_deg, lr=5e-2, axis=("host", "chip")
+    )
+    _, loss2d = step2d(params, jnp.asarray(x), jnp.asarray(y))
+
+    mesh1d = Mesh(np.asarray(jax.devices()[:ndev]), ("data",))
+    step1d = make_row_sharded_train_step(plan, mesh1d, inv_deg, lr=5e-2)
+    _, loss1d = step1d(params, jnp.asarray(x), jnp.asarray(y))
+    np.testing.assert_allclose(float(loss2d), float(loss1d), rtol=1e-5)
+
+
 def test_ring_train_step_decreases_loss_and_matches_allgather(rng):
     """The ring trainer (ROADMAP #7) must train, and its loss must match
     the all_gather trainer's on the same problem (identical math,

@@ -148,10 +148,16 @@ def test_default_space_coverage_gate():
     assert any(
         v.impl == "fused" and v.gather_segment == 128 for v in dense
     )
-    scattered = default_space(d=256, coverage128=1.75)
+    scattered = default_space(d=256, coverage128=1.75, coverage32=1.2)
     assert not any(v.impl == "fused" for v in scattered)
     unknown = default_space(d=256)  # no coverage info: keep the candidate
     assert any(v.impl == "fused" for v in unknown)
+    # mid-locality: s128 too wasteful, s32 covers cheaply -> s32 joins
+    mid = default_space(d=256, coverage128=0.9, coverage32=0.3)
+    assert any(
+        v.impl == "fused" and v.gather_segment == 32 for v in mid
+    )
+    assert not any(v.gather_segment == 128 for v in mid)
 
 
 def test_coverage_expansion_values():

@@ -75,6 +75,11 @@ def make_row_sharded_train_step(
     """SPMD full-graph GCN training step: params replicated, node rows
     (features, labels, outputs) sharded over `axis`.
 
+    axis may be one mesh axis name or a TUPLE of names for multi-host
+    layouts — e.g. axis=("host", "chip") on a (DCN, ICI) mesh shards
+    rows over both and the all_gather/psum ride the combined axes
+    (parity-tested vs the flat mesh in tests/test_parallel.py).
+
     Returns jittable `(params, x, y) -> (params, loss)` where x is
     (num_nodes, D) and y (num_nodes,) int labels (pad rows with label
     -100 to exclude them from the loss).

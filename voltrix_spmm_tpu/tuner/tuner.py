@@ -85,6 +85,7 @@ def default_space(
     d: int | None = None,
     nnz: int | None = None,
     coverage128: float | None = None,
+    coverage32: float | None = None,
 ) -> list[Variant]:
     """The standard tuning space (the reference's models 0/1/2 analogue).
 
@@ -142,6 +143,10 @@ def default_space(
     fused_ok = coverage128 is None or coverage128 <= 0.5
     if fused_ok:
         space.append(Variant("fused", block_h=2048, gather_segment=128))
+    elif coverage32 is not None and coverage32 <= 0.5:
+        # mid-locality regime: 128-row runs too wasteful but 32-row runs
+        # still cover cheaply (e.g. RCM-ordered community graphs)
+        space.append(Variant("fused", block_h=2048, gather_segment=32))
     if not accurate:
         # bf16 *storage* for the gathered rows (f32 accumulation) halves
         # gather volume; bf16 MXU compute_dtype measured strictly worse
@@ -364,12 +369,17 @@ class SpmmTuner:
         if space is None:
             from ..format.preprocess import coverage_expansion
 
+            cov128 = coverage_expansion(indptr, indices, num_nodes, 2048, 128)
+            cov32 = (
+                coverage_expansion(indptr, indices, num_nodes, 2048, 32)
+                if cov128 > 0.5
+                else None
+            )
             space = default_space(
                 d=int(feat.shape[1]),
                 nnz=len(indices),
-                coverage128=coverage_expansion(
-                    indptr, indices, num_nodes, 2048, 128
-                ),
+                coverage128=cov128,
+                coverage32=cov32,
             )
         verbose = env_flag(const.PRINT_AUTOTUNE_FLAG)
         if budget_s is None:
