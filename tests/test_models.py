@@ -30,6 +30,31 @@ def small_graph(rng, n=200, density=0.03, symmetric=True):
     return a, build_graph(a.indptr, a.indices, n, CFG, symmetric=symmetric)
 
 
+def test_spmm_ad_dispatches_fused_for_coverage_plans(rng):
+    """A graph preprocessed with gather_segment >= 8 trains through the
+    fused bulk-DMA kernel in both directions (spmm_ad dispatch)."""
+    from voltrix_spmm_tpu.format import csr_preprocess
+    from voltrix_spmm_tpu.ops import spmm_ad, spmm_scipy
+
+    n, d = 300, 24
+    a = sp.random(n, n, density=0.04, format="csr", random_state=rng)
+    a = ((a + a.T) != 0).astype(np.float32).tocsr()
+    plan = csr_preprocess(
+        a.indptr, a.indices, n, PlanConfig(32, 128, gather_segment=8)
+    )
+    x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    out = np.asarray(spmm_ad(plan, plan, x))
+    np.testing.assert_allclose(
+        out,
+        spmm_scipy(a.indptr, a.indices, n, np.asarray(x)),
+        rtol=1e-4, atol=1e-4,
+    )
+    g = jax.grad(lambda xj: jnp.sum(spmm_ad(plan, plan, xj) ** 2))(x)
+    dense = a.toarray()
+    want = 2.0 * dense.T @ (dense @ np.asarray(x))
+    np.testing.assert_allclose(np.asarray(g), want, rtol=1e-4, atol=1e-3)
+
+
 def test_aggregate_mean_matches_scipy(rng):
     a, g = small_graph(rng)
     n = a.shape[0]

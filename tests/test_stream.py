@@ -114,6 +114,26 @@ def test_tuner_streamed_variant(problem, tmp_path):
     assert "c4" in tuned.variant.key()
 
 
+def test_huge_gate_uses_dedup_estimate_and_keeps_fused():
+    from voltrix_spmm_tpu.tuner import default_space
+
+    # raw nnz says huge, the deduped gather estimate says it fits ->
+    # the full (non-streamed) space is used (measured: er-8k d1024)
+    space = default_space(d=1024, nnz=10_000_000, gather_rows=500_000)
+    assert not any(v.stream_chunks for v in space)
+    # genuinely huge AND fused-eligible: streamed pregather + fused
+    space = default_space(
+        d=1024, nnz=100_000_000, gather_rows=50_000_000, coverage128=0.1
+    )
+    assert any(v.stream_chunks for v in space)
+    assert any(v.impl == "fused" for v in space)
+    # genuinely huge and scattered: streamed only
+    space = default_space(
+        d=1024, nnz=100_000_000, gather_rows=50_000_000, coverage128=1.7
+    )
+    assert not any(v.impl == "fused" for v in space)
+
+
 def test_default_space_huge_gate():
     from voltrix_spmm_tpu.tuner import default_space
 

@@ -17,6 +17,17 @@ from ..format.plan import SpmmPlan
 from .pallas_spmm import spmm_pallas
 
 
+def _dispatch(plan, feat):
+    """Coverage plans (gather_segment >= 8) run the fused bulk-DMA
+    kernel — the measured winner on their regimes — so GCN training on
+    a fused-eligible graph gets it in both directions for free."""
+    if plan.config.gather_segment >= 8:
+        from .pallas_spmm_fused import spmm_pallas_fused
+
+        return spmm_pallas_fused(plan, feat)
+    return spmm_pallas(plan, feat)
+
+
 def _zero_cotangent(leaf):
     aval = jax.typeof(leaf)
     if np.issubdtype(aval.dtype, np.inexact):
@@ -30,16 +41,16 @@ def _zero_cotangent(leaf):
 def spmm_ad(plan: SpmmPlan, plan_t: SpmmPlan, feat):
     """SpMM with gradient support. `plan_t` must encode A^T (pass the
     same plan for symmetric adjacency)."""
-    return spmm_pallas(plan, feat)
+    return _dispatch(plan, feat)
 
 
 def _spmm_fwd(plan, plan_t, feat):
-    return spmm_pallas(plan, feat), (plan, plan_t)
+    return _dispatch(plan, feat), (plan, plan_t)
 
 
 def _spmm_bwd(res, g):
     plan, plan_t = res
-    dfeat = spmm_pallas(plan_t, g)
+    dfeat = _dispatch(plan_t, g)
     plan_zeros = jax.tree.map(_zero_cotangent, plan)
     plan_t_zeros = jax.tree.map(_zero_cotangent, plan_t)
     return (plan_zeros, plan_t_zeros, dfeat)

@@ -86,6 +86,7 @@ def default_space(
     nnz: int | None = None,
     coverage128: float | None = None,
     coverage32: float | None = None,
+    gather_rows: int | None = None,
 ) -> list[Variant]:
     """The standard tuning space (the reference's models 0/1/2 analogue).
 
@@ -101,11 +102,16 @@ def default_space(
     explicitly (`Variant("int8", ...)` / `spmm_pallas_int8`) for
     memory-bound cases where even bf16 storage does not fit.
 
-    nnz (edge count) gates the streamed fallbacks: when the worst-case
-    materialized gather (nnz * d * 4 bytes) approaches device memory,
-    window-chunked streamed variants join the space — on reddit-class
-    graphs they are the only single-chip candidates that fit (see
-    format/stream.py).
+    nnz / gather_rows gate the streamed fallbacks: when the materialized
+    gather approaches device memory, window-chunked streamed variants
+    join the space — on reddit-class graphs they are the only pregather
+    candidates that fit (see format/stream.py). gather_rows is the
+    DEDUPED h512-window row count (`coverage_expansion(..., 512, 1) *
+    nnz`); without it the gate falls back to raw nnz, which overcounts
+    by the dedup factor (measured: er-8k d1024 misrouted to the streamed
+    space at 1.44 ms when fused runs 0.83 ms). The fused kernel never
+    materializes a gather, so it stays eligible in the huge regime
+    whenever its coverage gate passes.
 
     coverage128 (gather rows per nnz of an h2048/seg128 coverage plan,
     `format.coverage_expansion`) gates the fused bulk-DMA candidates:
@@ -115,7 +121,8 @@ def default_space(
     measured on v5e d256: dense-4k 0.058 vs 0.078 ms, er-8k 0.225 vs
     0.403 ms. On scattered graphs coverage explodes (rmat-17: 1.75
     rows/nnz, 3.7x slower, GB-scale plan) — gated out at > 0.5."""
-    huge = nnz is not None and d is not None and nnz * d * 4 > 4 * 2**30
+    rows_est = gather_rows if gather_rows is not None else nnz
+    huge = rows_est is not None and d is not None and rows_est * d * 4 > 4 * 2**30
     if huge:
         # plan memory also matters at this scale: shorter windows keep
         # the bitmask linear in nnz; bf16 storage halves chunk gathers
@@ -129,6 +136,17 @@ def default_space(
             Variant("pregather", block_h=512, block_unroll=4,
                     stream_chunks=16),
         ]
+        if coverage128 is not None and coverage128 <= 0.5:
+            # fused streams X straight through VMEM — no materialized
+            # gather, so it fits where pregather needs chunking
+            space.append(Variant("fused", block_h=2048, gather_segment=128))
+            if not accurate:
+                space.append(
+                    Variant(
+                        "fused", block_h=2048, gather_segment=128,
+                        compute_dtype="bfloat16",
+                    )
+                )
         if accurate:
             space = [v for v in space if v.feat_dtype is None]
         return space
@@ -369,17 +387,25 @@ class SpmmTuner:
         if space is None:
             from ..format.preprocess import coverage_expansion
 
+            nnz = len(indices)
             cov128 = coverage_expansion(indptr, indices, num_nodes, 2048, 128)
             cov32 = (
                 coverage_expansion(indptr, indices, num_nodes, 2048, 32)
                 if cov128 > 0.5
                 else None
             )
+            # deduped h512-window gather rows: the honest size estimate
+            # for the huge-graph gate (raw nnz overcounts by the dedup
+            # factor on anything with shared neighbors)
+            rows512 = int(
+                coverage_expansion(indptr, indices, num_nodes, 512, 1) * nnz
+            )
             space = default_space(
                 d=int(feat.shape[1]),
-                nnz=len(indices),
+                nnz=nnz,
                 coverage128=cov128,
                 coverage32=cov32,
+                gather_rows=rows512,
             )
         verbose = env_flag(const.PRINT_AUTOTUNE_FLAG)
         if budget_s is None:
