@@ -82,7 +82,7 @@ def methods_registry():
 
         if a.shape[0] > 16384:
             raise RuntimeError("skipped: dense A exceeds HBM budget")
-        return make_dense_spmm(a), None
+        return make_dense_spmm(a)  # (fn, dense-as-argument)
 
     return {
         "Voltrix": voltrix_tuned,  # autotuned (the headline method)

@@ -35,12 +35,14 @@ def main(args):
         "xla-gather": make_gather_segment_spmm,
         "dense": make_dense_spmm,
     }[args.method]
-    fn = maker(a)
-    out = np.asarray(fn(feat))
+    made = maker(a)
+    # dense returns (fn, dense-array): the array travels as a traced
+    # ARGUMENT — closing hundreds of MB over jit blows the
+    # remote-compile request (HTTP 413)
+    fn, rest = (made[0], (made[1],)) if isinstance(made, tuple) else (made, ())
+    out = np.asarray(fn(feat, *rest))
     diff = calc_diff(out, spmm_scipy(a.indptr, a.indices, n, feat_np))
-    # NOTE: fn closes over device arrays; keep them small enough for the
-    # remote-compile payload or pass via rest args (see bench_all.py)
-    t = device_loop_bench(lambda c: fn(c), feat, iters=10)
+    t = device_loop_bench(lambda c, *r: fn(c, *r), feat, *rest, iters=10)
     print(f"[{args.method}] difference rate: {diff * 100:.4f}%")
     print(f"[{args.method}] n={n} nnz={a.nnz} dim={args.dim} time: {t:.3f} ms")
 

@@ -177,3 +177,45 @@ def test_native_spmm_oracle_matches_scipy(rng):
     out = native_spmm_oracle(a.indptr, a.indices, n, x)
     ref = spmm_scipy(a.indptr, a.indices, n, x)
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-4)
+
+
+def test_plan_save_load_roundtrip(rng, tmp_path):
+    import jax.numpy as jnp
+
+    from voltrix_spmm_tpu.format import SpmmPlan
+    from voltrix_spmm_tpu.ops import spmm
+
+    n, d = 700, 48
+    a = sp.random(n, n, density=0.03, format="csr", random_state=rng)
+    a.data[:] = rng.standard_normal(a.nnz).astype(np.float32)
+    cases = [
+        (PlanConfig(128, 128, block_unroll=2, cluster_cols=True), {}),
+        (PlanConfig(128, 128), {"values": a.data}),  # weighted plane too
+    ]
+    for cfg, kwargs in cases:
+        plan = csr_preprocess(a.indptr, a.indices, n, cfg, **kwargs)
+        path = plan.save(str(tmp_path / ("w" if kwargs else "b")))
+        loaded = SpmmPlan.load(path)
+        assert loaded.config == plan.config
+        assert loaded.num_nodes == plan.num_nodes
+        assert loaded.total_blocks == plan.total_blocks
+        np.testing.assert_array_equal(
+            np.asarray(loaded.bitmask), np.asarray(plan.bitmask)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(loaded.hind), np.asarray(plan.hind)
+        )
+        if plan.occ is not None:
+            np.testing.assert_array_equal(
+                np.asarray(loaded.occ), np.asarray(plan.occ)
+            )
+        if kwargs:
+            np.testing.assert_array_equal(
+                np.asarray(loaded.values), np.asarray(plan.values)
+            )
+        x = rng.standard_normal((n, d)).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(spmm(loaded, jnp.asarray(x))),
+            np.asarray(spmm(plan, jnp.asarray(x))),
+            rtol=1e-6,
+        )

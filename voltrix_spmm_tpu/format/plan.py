@@ -145,6 +145,62 @@ class SpmmPlan:
         """Total X rows gathered per full pass (the 'Exp_Edges' analogue)."""
         return self.total_blocks * self.config.block_w
 
+    def save(self, path: str) -> str:
+        """Serialize the plan to one .npz (preprocess once, serve from
+        many processes — at reddit scale preprocessing is seconds-to-
+        minutes while loading is an mmap'd read). Geometry travels in a
+        header array; `SpmmPlan.load` restores the exact plan."""
+        import json
+
+        header = json.dumps(
+            {
+                "config": dataclasses.asdict(self.config),
+                "num_nodes": self.num_nodes,
+                "num_edges": self.num_edges,
+                "num_windows": self.num_windows,
+                "total_blocks": self.total_blocks,
+                "has_empty_windows": self.has_empty_windows,
+                "num_cols": self.num_cols,
+            }
+        )
+        arrays = {
+            "bitmask": np.asarray(self.bitmask),
+            "hind": np.asarray(self.hind),
+            "window_of_block": np.asarray(self.window_of_block),
+            "block_ptr": np.asarray(self.block_ptr),
+            "header": np.frombuffer(header.encode(), np.uint8),
+        }
+        if self.occ is not None:
+            arrays["occ"] = np.asarray(self.occ)
+        if self.values is not None:
+            arrays["values"] = np.asarray(self.values)
+        if not path.endswith(".npz"):
+            path += ".npz"
+        tmp = path + ".tmp.npz"
+        np.savez(tmp.removesuffix(".npz"), **arrays)
+        import os
+
+        os.replace(tmp, path)
+        return path
+
+    @classmethod
+    def load(cls, path: str) -> "SpmmPlan":
+        import json
+
+        with np.load(path) as z:
+            meta = json.loads(bytes(z["header"]).decode())
+            cfg = PlanConfig(**meta.pop("config"))
+            return cls(
+                bitmask=z["bitmask"],
+                hind=z["hind"],
+                window_of_block=z["window_of_block"],
+                block_ptr=z["block_ptr"],
+                config=cfg,
+                occ=z["occ"] if "occ" in z else None,
+                values=z["values"] if "values" in z else None,
+                **meta,
+            )
+
     def device(self) -> "SpmmPlan":
         """Move array leaves to the default JAX device."""
         return dataclasses.replace(

@@ -57,9 +57,13 @@ def make_gather_segment_spmm(a_csr):
 
 
 def make_dense_spmm(a_csr):
+    """Returns (run, dense): pass `dense` to run as an ARGUMENT — at
+    8k+ nodes the densified A is hundreds of MB and closing it over jit
+    embeds it in the compile request (HTTP 413 through a remote-compile
+    relay)."""
     dense = jnp.asarray(a_csr.toarray().astype(np.float32))
 
-    def run(feat, dense=dense):
+    def run(feat, dense):
         return dense @ feat
 
-    return run
+    return run, dense
