@@ -42,6 +42,20 @@ def test_device_loop_bench_rest_args():
     assert t > 0
 
 
+def test_device_loop_bench_shape_changing_fn():
+    # output shape != carry shape (e.g. a model forward returning
+    # logits): the loop chains through a scalar reduction instead
+    x = jnp.ones((64, 32), jnp.float32)
+    w = jnp.ones((32, 8), jnp.float32)
+    t = device_loop_bench(lambda c, ww: c @ ww, x, w, iters=2, trials=1)
+    assert t > 0
+    # pytree outputs work too
+    t = device_loop_bench(
+        lambda c, ww: {"a": c @ ww, "b": c.sum()}, x, w, iters=2, trials=1
+    )
+    assert t > 0
+
+
 def test_duration_timer():
     with DurationTimer() as t:
         time.sleep(0.01)

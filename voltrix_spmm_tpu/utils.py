@@ -112,7 +112,14 @@ def device_loop_prepare(step_fn: Callable, carry, *args):
     def run(c0, rest, n_iter):
         def body(_, c):
             out = step_fn(c, *rest)
-            return c + (1e-38 * out).astype(c.dtype)
+            if getattr(out, "shape", None) == c.shape:
+                return c + (1e-38 * out).astype(c.dtype)
+            # shape-changing ops (e.g. a model forward): chain through a
+            # scalar reduction instead — still data-dependent, so no
+            # iteration can be elided; the extra reduce is negligible
+            leaves = jax.tree.leaves(out)
+            s = sum(jnp.sum(leaf).astype(jnp.float32) for leaf in leaves)
+            return c + (1e-38 * s).astype(c.dtype)
 
         return jnp.sum(lax.fori_loop(0, n_iter, body, c0, unroll=False))
 
@@ -128,8 +135,11 @@ def device_loop_bench(
     compiled=None,
     min_window_ms: float | None = None,
 ) -> float:
-    """Robust device time in ms/iter for `step_fn(carry, *args) -> out`
-    where `out` has the carry's shape/dtype.
+    """Robust device time in ms/iter for `step_fn(carry, *args) -> out`.
+    When `out` matches the carry's shape it chains directly; any other
+    output (including pytrees, e.g. a whole model forward) chains
+    through a scalar reduction — either way every iteration stays
+    data-dependent on the last.
 
     Runs the op in an on-device `fori_loop`, chaining iterations through a
     negligible perturbation (`carry + 1e-38 * out`) so no iteration can be
