@@ -11,7 +11,7 @@ def main(out, paths):
     for p in paths:
         with open(p) as f:
             for r in csv.reader(f):
-                if r[0] == "dataset":
+                if not r or r[0] == "dataset":
                     continue
                 key = (r[0], r[1], r[2])
                 if key not in rows:

@@ -339,9 +339,14 @@ def edge_slot_map(plan: SpmmPlan, indptr, indices) -> np.ndarray:
     )
     ekeys = (rows // W) * span + indices
     pos = np.searchsorted(keys_sorted, ekeys)
-    assert pos.shape[0] == 0 or bool(
+    if pos.shape[0] and not bool(
         (keys_sorted[np.minimum(pos, keys_sorted.shape[0] - 1)] == ekeys).all()
-    ), "edge not represented in plan (wrong plan for this CSR?)"
+    ):
+        # a real raise, not an assert: under python -O a silent mismatch
+        # would scatter weights into other edges' slots
+        raise ValueError(
+            "edge not represented in plan (wrong plan for this CSR?)"
+        )
     bl = lane_flat[pos] if pos.shape[0] else np.zeros(0, np.int64)
     return (bl // K) * (W * K) + (rows % W) * K + (bl % K)
 

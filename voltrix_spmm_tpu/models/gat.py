@@ -40,7 +40,7 @@ from ..ops.weighted import spmm_weighted_ad
 class GatGraph:
     """Plans for A and A^T plus the static edge->slot scatter maps."""
 
-    plan: SpmmPlan  # carries a zero value plane (shape donor)
+    plan: SpmmPlan  # binary; the value plane is scattered in per forward
     plan_t: SpmmPlan
     slots: object  # int32 (nnz,) flat index into plan.values
     slots_t: object  # int32 (nnz,) flat index into plan_t.values
@@ -72,15 +72,21 @@ def build_gat_graph(
     )
     indptr = np.asarray(indptr, dtype=np.int64)
     indices = np.asarray(indices, dtype=np.int64)
-    nnz = indices.shape[0]
-    zero = np.zeros(nnz, np.float32)
-    plan = csr_preprocess(
-        indptr, indices, num_nodes, config, backend=backend, values=zero
-    )
-    ptr_t, idx_t, _ = csr_transpose(indptr, indices, num_nodes, zero)
-    plan_t = csr_preprocess(
-        ptr_t, idx_t, num_nodes, config, backend=backend, values=zero
-    )
+    # binary plans: the value planes are rebuilt from the attention
+    # vector at every forward (scatter_plane uses only static geometry),
+    # so materializing zero planes here would waste 2 x expanded-slot
+    # bytes of HBM for arrays that are never read
+    plan = csr_preprocess(indptr, indices, num_nodes, config, backend=backend)
+    ptr_t, idx_t, _ = csr_transpose(indptr, indices, num_nodes)
+    plan_t = csr_preprocess(ptr_t, idx_t, num_nodes, config, backend=backend)
+    for p in (plan, plan_t):
+        size = p.total_blocks * config.block_h * config.block_w
+        if size > np.iinfo(np.int32).max:
+            raise ValueError(
+                f"GAT value plane has {size} slots — beyond int32 scatter "
+                "indices (JAX default). Use a shorter window height or "
+                "partition the graph (parallel.row_sharded)."
+            )
     slots = edge_slot_map(plan, indptr, indices)
     # the transpose edge (v, u) carries the SAME attention value as
     # (u, v): enumerate transpose edges in their own CSR order and map

@@ -66,7 +66,10 @@ def _pick_block_d(
     but is the only knob that keeps tall windows compiling at d >= 512."""
     bd = min(d_pad, start)
     while bd > 128 and block_h * bd * 4 > max_tile_bytes:
-        bd //= 2
+        # halve, then floor to a 128 multiple — lanes must stay aligned
+        # (d_pad=640 would otherwise yield 320; DMA slices of non-128
+        # widths fail Mosaic lowering)
+        bd = max(128, (bd // 2) // 128 * 128)
     return bd
 
 

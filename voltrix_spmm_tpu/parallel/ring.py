@@ -306,14 +306,14 @@ def make_ring_train_step(
 
     invd = jnp.asarray(np.asarray(inv_deg, np.float32).reshape(-1, 1))
 
-    def forward(params, x):
-        h = invd * ring_sharded_spmm(plan, x, mesh, axis)
+    def forward(params, plan_arg, invd_arg, x):
+        h = invd_arg * ring_sharded_spmm(plan_arg, x, mesh, axis)
         h = jax.nn.relu(h @ params["w1"] + params["b1"])
-        h = invd * ring_sharded_spmm(plan, h, mesh, axis)
+        h = invd_arg * ring_sharded_spmm(plan_arg, h, mesh, axis)
         return h @ params["w2"] + params["b2"]
 
-    def loss_fn(params, x, y):
-        logits = forward(params, x)
+    def loss_fn(params, plan_arg, invd_arg, x, y):
+        logits = forward(params, plan_arg, invd_arg, x)
         mask = y >= 0
         losses = optax.softmax_cross_entropy_with_integer_labels(
             logits, jnp.maximum(y, 0)
@@ -322,10 +322,19 @@ def make_ring_train_step(
             jnp.sum(mask), 1
         )
 
+    # the plan (a pytree with hundreds-of-MB block grids on real graphs)
+    # travels as a traced ARGUMENT — closing it over jit embeds it as a
+    # compile-time constant and blows the remote-compile request
+    # (HTTP 413, same failure class as ops/baselines.make_dense_spmm)
     @jax.jit
-    def run(params, x, y):
-        loss, grads = jax.value_and_grad(loss_fn)(params, x, y)
+    def _step(params, plan_arg, invd_arg, x, y):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, plan_arg, invd_arg, x, y
+        )
         params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
         return params, loss
+
+    def run(params, x, y):
+        return _step(params, plan, invd, x, y)
 
     return run

@@ -384,7 +384,10 @@ class SpmmTuner:
 
         import jax.numpy as jnp
 
-        if space is None:
+        def build_default_space():
+            # O(nnz log nnz) host passes — only on a genuine cache miss
+            # (a warm-cache call must stay O(1); the space is unused on
+            # memory/disk hits)
             from ..format.preprocess import coverage_expansion
 
             nnz = len(indices)
@@ -400,13 +403,14 @@ class SpmmTuner:
             rows512 = int(
                 coverage_expansion(indptr, indices, num_nodes, 512, 1) * nnz
             )
-            space = default_space(
+            return default_space(
                 d=int(feat.shape[1]),
                 nnz=nnz,
                 coverage128=cov128,
                 coverage32=cov32,
                 gather_rows=rows512,
             )
+
         verbose = env_flag(const.PRINT_AUTOTUNE_FLAG)
         if budget_s is None:
             env = os.environ.get(const.TUNE_BUDGET_FLAG, "")
@@ -522,6 +526,8 @@ class SpmmTuner:
                 print(f"voltrix_tpu tune: disk hit for {signature}: {variant.key()}")
             return tuned
 
+        if space is None:
+            space = build_default_space()
         feat = jnp.asarray(feat)
         results: dict[str, float] = {}
         best = None  # (time, variant, plan, ordering, perm, inv_perm)
