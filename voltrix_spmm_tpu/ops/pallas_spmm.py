@@ -295,7 +295,7 @@ def spmm_pallas(
             if plan.occ is not None
             else _subtile_occupancy(jnp.asarray(plan.bitmask), unroll)
         )
-        # group-level bitmap: OR over the unroll blocks of each grid step
+        # group-level bitmap: OR over the unroll blocks of each step
         occ_group = occ_blocks[::unroll]
         for i in range(1, unroll):
             occ_group = occ_group | occ_blocks[i::unroll]
