@@ -280,6 +280,34 @@ def test_dvalues_unroll(rng):
     np.testing.assert_allclose(dv, want, rtol=1e-4, atol=1e-3)
 
 
+def test_sddmm_matches_scipy(rng):
+    from voltrix_spmm_tpu.ops import sddmm
+
+    a = make_weighted(rng, n=300, density=0.04)
+    n, d = 300, 48
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    y = rng.standard_normal((n, d)).astype(np.float32)
+    plan = csr_preprocess(a.indptr, a.indices, n, PlanConfig(64, 128))
+    slots = edge_slot_map(plan, a.indptr, a.indices)
+    vals = np.asarray(
+        sddmm(plan, jnp.asarray(x), jnp.asarray(y), per_edge=jnp.asarray(slots))
+    )
+    rows = np.repeat(np.arange(n), np.diff(a.indptr))
+    want = np.sum(x[rows] * y[a.indices], axis=1)
+    np.testing.assert_allclose(vals, want, rtol=1e-4, atol=1e-3)
+    # plane form is zero off-edge and feeds straight back into SpMM
+    plane = sddmm(plan, jnp.asarray(x), jnp.asarray(y))
+    import dataclasses
+
+    out = spmm(
+        dataclasses.replace(plan, values=plane), jnp.asarray(y)
+    )
+    sc = sp.csr_matrix((want, a.indices, a.indptr), shape=(n, n))
+    np.testing.assert_allclose(
+        np.asarray(out), sc @ y, rtol=1e-3, atol=1e-2
+    )
+
+
 def test_weighted_empty(rng):
     n = 100
     plan = csr_preprocess(

@@ -6,6 +6,7 @@ from .autodiff import spmm_ad
 from .quant import spmm_pallas_int8, quantize_rows, dequantize_rows
 from .hybrid import spmm_pallas_hybrid
 from .weighted import (
+    sddmm,
     spmm_pallas_weighted,
     spmm_weighted_ad,
     spmm_weighted_dvalues,
@@ -73,6 +74,7 @@ __all__ = [
     "spmm_pallas_fused",
     "spmm_pallas_int8",
     "spmm_pallas_hybrid",
+    "sddmm",
     "spmm_pallas_weighted",
     "spmm_weighted_ad",
     "spmm_weighted_dvalues",

@@ -282,6 +282,31 @@ def spmm_weighted_dvalues(
     )
 
 
+def sddmm(
+    plan: SpmmPlan,
+    x: jax.Array,
+    y: jax.Array,
+    *,
+    per_edge=None,
+    **kwargs,
+) -> jax.Array:
+    """Sampled dense-dense matmul: (x @ y^T) masked to A's sparsity.
+
+    The standard companion op to SpMM (cuSPARSE `cusparseSDDMM`; absent
+    from the reference, which is SpMM-only): for every edge (u, v) of
+    the plan, out_uv = x[u] . y[v]. Returns the (total_blocks, block_h,
+    block_w) value plane (zero off-edge) — feed it straight back into a
+    weighted SpMM — or, with `per_edge=slots` from
+    `format.edge_slot_map`, the (nnz,) per-edge vector (GAT attention
+    logits, link-prediction scores). Runs the same streamed MXU kernel
+    as the weighted backward: per block, g_window @ gathered^T masked
+    by the bitmask."""
+    plane = spmm_weighted_dvalues(plan, y, x, **kwargs)
+    if per_edge is not None:
+        return plane.reshape(-1)[per_edge]
+    return plane
+
+
 @jax.custom_vjp
 def spmm_weighted_ad(plan: SpmmPlan, plan_t: SpmmPlan, feat):
     """Weighted SpMM with gradients for BOTH feat and the value plane.
