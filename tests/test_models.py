@@ -55,6 +55,29 @@ def test_spmm_ad_dispatches_fused_for_coverage_plans(rng):
     np.testing.assert_allclose(np.asarray(g), want, rtol=1e-4, atol=1e-3)
 
 
+def test_build_graph_auto_config(rng):
+    """config='auto' routes dense-ish graphs to the fused coverage plan
+    and scattered ones to the pregather default, both correct."""
+    from voltrix_spmm_tpu.models import build_graph
+
+    n, d = 600, 24
+    # dense-ish: high density -> low coverage waste -> fused config
+    a = sp.random(n, n, density=0.2, format="csr", random_state=rng)
+    a = ((a + a.T) != 0).astype(np.float32).tocsr()
+    g = build_graph(a.indptr, a.indices, n, config="auto", symmetric=True)
+    assert g.plan.config.gather_segment == 128
+    x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    out = np.asarray(aggregate(g, x, mode="sum"))
+    np.testing.assert_allclose(out, a @ np.asarray(x), rtol=1e-4, atol=1e-3)
+
+    # scattered: one neighbor per 128-aligned stride -> pregather
+    rows = np.arange(n, dtype=np.int64)
+    cols = (rows * 131) % n
+    a2 = sp.csr_matrix((np.ones(n, np.float32), (rows, cols)), shape=(n, n))
+    g2 = build_graph(a2.indptr, a2.indices, n, config="auto", symmetric=False)
+    assert g2.plan.config.gather_segment == 1
+
+
 def test_aggregate_mean_matches_scipy(rng):
     a, g = small_graph(rng)
     n = a.shape[0]

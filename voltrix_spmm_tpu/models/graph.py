@@ -43,14 +43,30 @@ def build_graph(
     indptr,
     indices,
     num_nodes: int,
-    config: PlanConfig = PlanConfig(),
+    config: PlanConfig | str = PlanConfig(),
     symmetric: bool | None = None,
     backend: str = "auto",
 ) -> GraphData:
     """Preprocess adjacency into a GraphData (plans for A and A^T plus
-    mean-aggregation degree normalization)."""
+    mean-aggregation degree normalization).
+
+    config="auto" picks the kernel regime from the graph itself: when an
+    h2048/seg128 coverage plan wastes <= 0.5 gather rows per nnz the
+    fused bulk-DMA kernel wins (measured 1.3-4.5x on uniform/dense
+    graphs; `spmm_ad` dispatches coverage plans to it in both training
+    directions), otherwise the pregather default. Mirrors the tuner's
+    `coverage_expansion` gate without timing anything."""
     import scipy.sparse as sp
 
+    if config == "auto":
+        from ..format.preprocess import coverage_expansion
+
+        cov = coverage_expansion(indptr, indices, num_nodes, 2048, 128)
+        config = (
+            PlanConfig(2048, 128, gather_segment=128)
+            if cov <= 0.5
+            else PlanConfig()
+        )
     plan = csr_preprocess(indptr, indices, num_nodes, config, backend=backend)
     a = sp.csr_matrix(
         (
