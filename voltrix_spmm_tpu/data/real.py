@@ -163,6 +163,36 @@ def proxy_csr(name: str, seed: int = 0) -> sp.csr_matrix:
     )
 
 
+_user_stats_loaded = False
+
+
+def _load_user_stats() -> None:
+    """Merge user-supplied dataset stats (JSON at $VOLTRIX_TPU_PROXY_STATS)
+    into PUBLISHED so any named graph can be proxied once its size is
+    known — the honest fallback for names whose published stats we
+    cannot verify offline."""
+    global _user_stats_loaded
+    if _user_stats_loaded:
+        return
+    _user_stats_loaded = True
+    path = os.environ.get("VOLTRIX_TPU_PROXY_STATS", "")
+    if not path or not os.path.exists(path):
+        return
+    import json
+
+    with open(path) as f:
+        for name, d in json.load(f).items():
+            PUBLISHED.setdefault(
+                name,
+                PublishedStats(
+                    int(d["num_nodes"]),
+                    int(d["num_edges"]),
+                    d.get("family", "powerlaw"),
+                    d.get("note", "user-supplied stats"),
+                ),
+            )
+
+
 def load_graph(name: str, data_dir: str | None = None) -> tuple[sp.csr_matrix, str]:
     """Real graph if `<data_dir>/<name>.npz` exists, else the published-
     stats proxy. Returns (csr, label) where label is `name` for the real
@@ -171,9 +201,19 @@ def load_graph(name: str, data_dir: str | None = None) -> tuple[sp.csr_matrix, s
     path = os.path.join(data_dir, f"{name}.npz")
     if os.path.exists(path):
         return load_tcgnn_npz(path), name
+    _load_user_stats()
     if name not in PUBLISHED:
+        # The reference's remaining names (FraudYelp-RSR, protein,
+        # YeastH, Yeast) have no size citation we can verify offline —
+        # we do not fabricate stats. Supply them via a JSON file:
+        #   {"protein": {"num_nodes": N, "num_edges": E,
+        #                "family": "powerlaw|community|dense|mesh"}}
+        # pointed to by $VOLTRIX_TPU_PROXY_STATS, or drop the genuine
+        # .npz in $VOLTRIX_TPU_DATASETS.
         raise FileNotFoundError(
-            f"{path} not found and no published stats for {name!r}"
+            f"{path} not found and no published stats for {name!r} "
+            f"(provide the .npz via ${DATASETS_DIR_FLAG} or stats via "
+            "$VOLTRIX_TPU_PROXY_STATS)"
         )
     logger.warning(
         "%s: real dataset file %s not found; using a published-stats "
