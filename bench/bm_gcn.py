@@ -23,9 +23,10 @@ def main(args):
 
     a = graph_gen.load(args.graph)
     n = a.shape[0]
-    g = build_graph(
-        a.indptr, a.indices, n, PlanConfig(args.block_h, 128), symmetric=None
-    )
+    cfg = (
+        "auto" if args.block_h == 0 else PlanConfig(args.block_h, 128)
+    )  # --block-h 0 -> coverage-gated regime selection
+    g = build_graph(a.indptr, a.indices, n, cfg, symmetric=None)
     rng = np.random.default_rng(0)
     for d in [int(x) for x in args.dims.split(",")]:
         params = init_gcn(jax.random.PRNGKey(0), d, args.hidden, args.classes)
@@ -46,6 +47,6 @@ if __name__ == "__main__":
     p.add_argument("--dims", default="32,64,128,256,512")
     p.add_argument("--hidden", type=int, default=128)
     p.add_argument("--classes", type=int, default=32)
-    p.add_argument("--block-h", type=int, default=512)
+    p.add_argument("--block-h", type=int, default=0)  # 0 = auto
     p.add_argument("--iters", type=int, default=10)
     main(p.parse_args())

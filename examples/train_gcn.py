@@ -20,7 +20,6 @@ def main(args):
     import jax.numpy as jnp
     import optax
 
-    from voltrix_spmm_tpu.format import PlanConfig
     from voltrix_spmm_tpu.models import (
         build_graph,
         gcn_forward,
@@ -47,7 +46,7 @@ def main(args):
     )
     a = ((a + a.T) != 0).astype(np.float32).tocsr()
 
-    g = build_graph(a.indptr, a.indices, n, PlanConfig(128, 128), symmetric=True)
+    g = build_graph(a.indptr, a.indices, n, config="auto", symmetric=True)
     d = args.feat_dim
     x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
     y = jnp.asarray(labels)
