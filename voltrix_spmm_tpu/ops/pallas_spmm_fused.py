@@ -47,10 +47,10 @@ def _fused_kernel(
     x_ref,  # HBM (n_pad, d_pad) compute dtype
     # outputs
     out_ref,  # VMEM (block_h, block_d) float32
-    # scratch
-    desc_buf,  # SMEM (2, K) int32
-    bm_buf,  # VMEM (2, words, K) uint32
-    xg_buf,  # VMEM (2, K, block_d) compute dtype
+    # scratch (group granularity: U = block_unroll blocks per step)
+    desc_buf,  # SMEM (2, U, K) int32
+    bm_buf,  # VMEM (2, U, words, K) uint32
+    xg_buf,  # VMEM (2, U * K, block_d) compute dtype
     desc_sems,  # DMA sems (2,)
     bm_sems,  # DMA sems (2,)
     xg_sems,  # DMA sems (2,)
@@ -61,38 +61,55 @@ def _fused_kernel(
     block_d: int,
     compute_dtype,
     precision,
-    total_blocks: int,
+    total_groups: int,
+    unroll: int,
 ):
+    """Group-unrolled pipeline: each step moves U blocks with ONE
+    descriptor DMA + ONE bitmask DMA + U x-run DMAs (vs 3U per-block
+    DMAs at U=1) and feeds the MXU one (block_h, U*K) @ (U*K, block_d)
+    dot. With 2 groups in flight the pipeline holds 2U blocks of data —
+    the reference's NUM_BUFFERS=4 depth (spmm_kernels.cuh:2074-2108)
+    achieved by widening the stage instead of adding buffers. Plans
+    must be built with block_unroll=U (blocks per window padded to a
+    multiple of U; padding blocks carry zero bits and canonical
+    seg-aligned hind runs, so their DMAs are valid and their dot
+    contributes zeros)."""
     nseg = block_w // seg
     c = pl.program_id(0)
     w = pl.program_id(1)
     col0 = pl.multiple_of(c * block_d, block_d)
     b0 = bp_ref[w]
     nb = bp_ref[w + 1] - b0
+    g0 = b0 // unroll  # block_ptr entries are multiples of U by padding
 
-    def desc_dma(blk):
+    def desc_dma(g):
         return pltpu.make_async_copy(
-            hind_ref.at[blk], desc_buf.at[blk % 2], desc_sems.at[blk % 2]
+            hind_ref.at[pl.ds(g * unroll, unroll)],
+            desc_buf.at[g % 2],
+            desc_sems.at[g % 2],
         )
 
-    def bm_dma(blk):
+    def bm_dma(g):
         return pltpu.make_async_copy(
-            bitmask_ref.at[blk], bm_buf.at[blk % 2], bm_sems.at[blk % 2]
+            bitmask_ref.at[pl.ds(g * unroll, unroll)],
+            bm_buf.at[g % 2],
+            bm_sems.at[g % 2],
         )
 
-    def xg_dma(blk, j):
-        start = pl.multiple_of(desc_buf[blk % 2, j * seg], seg)
+    def xg_dma(g, u, j):
+        start = pl.multiple_of(desc_buf[g % 2, u, j * seg], seg)
         return pltpu.make_async_copy(
             x_ref.at[pl.ds(start, seg), pl.ds(col0, block_d)],
-            xg_buf.at[blk % 2, pl.ds(j * seg, seg), :],
-            xg_sems.at[blk % 2],
+            xg_buf.at[g % 2, pl.ds(u * block_w + j * seg, seg), :],
+            xg_sems.at[g % 2],
         )
 
-    def issue_block(blk):
-        """Start bitmask + gathered-X fetches for `blk` (desc must be in)."""
-        bm_dma(blk).start()
-        for j in range(nseg):
-            xg_dma(blk, j).start()
+    def issue_group(g):
+        """Start bitmask + gathered-X fetches for group g (desc in)."""
+        bm_dma(g).start()
+        for u in range(unroll):
+            for j in range(nseg):
+                xg_dma(g, u, j).start()
 
     # pipeline cold start: the first non-empty window of each feature
     # chunk (empty leading windows share b0 == 0 but have nb == 0)
@@ -100,32 +117,39 @@ def _fused_kernel(
     def _():
         desc_dma(0).start()
         desc_dma(0).wait()
-        issue_block(0)
-        if total_blocks > 1:
+        issue_group(0)
+        if total_groups > 1:
             desc_dma(1).start()
 
     out_ref[...] = jnp.zeros_like(out_ref)
 
     def body(i, _):
-        blk = b0 + i
-        slot = blk % 2
+        g = g0 + i
+        slot = g % 2
 
-        # producer side: bring block blk+1's data in while blk computes
-        @pl.when(blk + 1 < total_blocks)
+        # producer side: bring group g+1's data in while g computes
+        @pl.when(g + 1 < total_groups)
         def _():
-            desc_dma(blk + 1).wait()
-            issue_block(blk + 1)
+            desc_dma(g + 1).wait()
+            issue_group(g + 1)
 
-        @pl.when(blk + 2 < total_blocks)
+        @pl.when(g + 2 < total_groups)
         def _():
-            desc_dma(blk + 2).start()
+            desc_dma(g + 2).start()
 
-        # consumer side: wait for blk's bitmask + gathered rows
-        bm_dma(blk).wait()
-        for j in range(nseg):
-            xg_dma(blk, j).wait()
+        # consumer side: wait for g's bitmask + gathered rows
+        bm_dma(g).wait()
+        for u in range(unroll):
+            for j in range(nseg):
+                xg_dma(g, u, j).wait()
 
-        mask = expand_bitmask(bm_buf[slot], block_h, compute_dtype)
+        mask = jnp.concatenate(
+            [
+                expand_bitmask(bm_buf[slot, u], block_h, compute_dtype)
+                for u in range(unroll)
+            ],
+            axis=1,
+        )
         out_ref[...] += jnp.dot(
             mask,
             xg_buf[slot],
@@ -134,7 +158,7 @@ def _fused_kernel(
         )
         return 0
 
-    jax.lax.fori_loop(0, nb, body, 0)
+    jax.lax.fori_loop(0, nb // unroll, body, 0)
 
 
 def spmm_pallas_fused(
@@ -179,6 +203,8 @@ def spmm_pallas_fused(
     if (n_pad, d_pad) != (n, d):
         x = jnp.pad(x, ((0, n_pad - n), (0, d_pad - d)))
 
+    unroll = cfg.block_unroll
+    assert plan.total_blocks % unroll == 0, (plan.total_blocks, unroll)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(num_chunks, plan.num_windows),
@@ -189,9 +215,9 @@ def spmm_pallas_fused(
         ],
         out_specs=pl.BlockSpec((block_h, block_d), lambda c, w, bp: (w, c)),
         scratch_shapes=[
-            pltpu.SMEM((2, block_w), jnp.int32),
-            pltpu.VMEM((2, words, block_w), jnp.uint32),
-            pltpu.VMEM((2, block_w, block_d), compute_dtype),
+            pltpu.SMEM((2, unroll, block_w), jnp.int32),
+            pltpu.VMEM((2, unroll, words, block_w), jnp.uint32),
+            pltpu.VMEM((2, unroll * block_w, block_d), compute_dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -206,7 +232,8 @@ def spmm_pallas_fused(
         block_d=block_d,
         compute_dtype=compute_dtype,
         precision=precision,
-        total_blocks=plan.total_blocks,
+        total_groups=plan.total_blocks // unroll,
+        unroll=unroll,
     )
     flops = 2 * plan.total_blocks * block_h * block_w * d_pad
     bytes_accessed = (

@@ -139,12 +139,12 @@ def default_space(
         if coverage128 is not None and coverage128 <= 0.5:
             # fused streams X straight through VMEM — no materialized
             # gather, so it fits where pregather needs chunking
-            space.append(Variant("fused", block_h=2048, gather_segment=128))
+            space.append(Variant("fused", block_h=2048, gather_segment=128, block_unroll=4))
             if not accurate:
                 space.append(
                     Variant(
                         "fused", block_h=2048, gather_segment=128,
-                        compute_dtype="bfloat16",
+                        block_unroll=4, compute_dtype="bfloat16",
                     )
                 )
         if accurate:
@@ -160,11 +160,13 @@ def default_space(
     ]
     fused_ok = coverage128 is None or coverage128 <= 0.5
     if fused_ok:
-        space.append(Variant("fused", block_h=2048, gather_segment=128))
+        space.append(Variant("fused", block_h=2048, gather_segment=128, block_unroll=4))
     elif coverage32 is not None and coverage32 <= 0.5:
         # mid-locality regime: 128-row runs too wasteful but 32-row runs
         # still cover cheaply (e.g. RCM-ordered community graphs)
-        space.append(Variant("fused", block_h=2048, gather_segment=32))
+        space.append(
+            Variant("fused", block_h=2048, gather_segment=32, block_unroll=4)
+        )
     if not accurate:
         # bf16 *storage* for the gathered rows (f32 accumulation) halves
         # gather volume; bf16 MXU compute_dtype measured strictly worse
@@ -193,6 +195,7 @@ def default_space(
                     "fused",
                     block_h=2048,
                     gather_segment=128,
+                    block_unroll=4,
                     compute_dtype="bfloat16",
                 )
             )
