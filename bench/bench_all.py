@@ -60,7 +60,9 @@ def methods_registry():
 
         cov = coverage_expansion(a.indptr, a.indices, a.shape[0], 2048, 128)
         cfg = (
-            PlanConfig(2048, 128, 128) if cov <= 0.5 else PlanConfig(128, 128, 8)
+            PlanConfig(2048, 128, 128, block_unroll=4)
+            if cov <= 0.5
+            else PlanConfig(128, 128, 8)
         )
         plan = csr_preprocess(a.indptr, a.indices, a.shape[0], cfg).device()
         return (lambda x, p: spmm_pallas_fused(p, x)), plan
