@@ -116,7 +116,8 @@ def test_fused_bulk_dma_device(problem):
     from voltrix_spmm_tpu.ops import spmm_pallas_fused
 
     a, feat, oracle = problem
-    cfg = PlanConfig(2048, 128, gather_segment=128)
+    # the production config: group unroll 4 (one desc/bitmask DMA per group)
+    cfg = PlanConfig(2048, 128, gather_segment=128, block_unroll=4)
     plan = csr_preprocess(a.indptr, a.indices, a.shape[0], cfg).device()
     _check(spmm_pallas_fused(plan, jnp.asarray(feat)), oracle)
     out = spmm_pallas_fused(
