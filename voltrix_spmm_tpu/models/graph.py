@@ -54,7 +54,10 @@ def build_graph(
     h2048/seg128 coverage plan wastes <= 0.5 gather rows per nnz the
     fused bulk-DMA kernel wins (measured 1.3-4.5x on uniform/dense
     graphs; `spmm_ad` dispatches coverage plans to it in both training
-    directions), otherwise the pregather default. Mirrors the tuner's
+    directions). Scattered graphs get tall clustered-subtile windows
+    (the measured power-law winner class: dedup scales with window
+    height and the subtile kernel skips the empty 128-row sub-products)
+    instead of the short-window default. Mirrors the tuner's
     `coverage_expansion` gate without timing anything."""
     import scipy.sparse as sp
 
@@ -62,11 +65,16 @@ def build_graph(
         from ..format.preprocess import coverage_expansion
 
         cov = coverage_expansion(indptr, indices, num_nodes, 2048, 128)
-        config = (
-            PlanConfig(2048, 128, gather_segment=128)
-            if cov <= 0.5
-            else PlanConfig()
-        )
+        if cov <= 0.5:
+            config = PlanConfig(
+                2048, 128, gather_segment=128, block_unroll=4
+            )
+        elif num_nodes >= 4096:
+            config = PlanConfig(
+                1024, 128, block_unroll=4, cluster_cols=True
+            )
+        else:
+            config = PlanConfig()
     plan = csr_preprocess(indptr, indices, num_nodes, config, backend=backend)
     a = sp.csr_matrix(
         (

@@ -19,13 +19,14 @@ from .pallas_spmm import spmm_pallas
 
 def _dispatch(plan, feat):
     """Coverage plans (gather_segment >= 8) run the fused bulk-DMA
-    kernel — the measured winner on their regimes — so GCN training on
-    a fused-eligible graph gets it in both directions for free."""
+    kernel and column-clustered plans run the subtile kernel — the
+    measured winners on their regimes — so GCN training gets the right
+    kernel in both directions from the plan alone."""
     if plan.config.gather_segment >= 8:
         from .pallas_spmm_fused import spmm_pallas_fused
 
         return spmm_pallas_fused(plan, feat)
-    return spmm_pallas(plan, feat)
+    return spmm_pallas(plan, feat, subtile=plan.config.cluster_cols)
 
 
 def _zero_cotangent(leaf):
