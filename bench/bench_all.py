@@ -56,14 +56,11 @@ def methods_registry():
         # the winning bulk-DMA config (one 128-row DMA per block) where
         # coverage allows; fall back to the exact-lane h128/s8 pipeline
         # on scattered graphs (coverage gate, see tuner.default_space)
-        from voltrix_spmm_tpu.format.preprocess import coverage_expansion
+        from voltrix_spmm_tpu.format.preprocess import fused_auto_config
 
-        cov = coverage_expansion(a.indptr, a.indices, a.shape[0], 2048, 128)
-        cfg = (
-            PlanConfig(2048, 128, 128, block_unroll=4)
-            if cov <= 0.5
-            else PlanConfig(128, 128, 8)
-        )
+        cfg = fused_auto_config(a.indptr, a.indices, a.shape[0])
+        if cfg is None:
+            cfg = PlanConfig(128, 128, 8)
         plan = csr_preprocess(a.indptr, a.indices, a.shape[0], cfg).device()
         return (lambda x, p: spmm_pallas_fused(p, x)), plan
 

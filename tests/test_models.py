@@ -77,6 +77,59 @@ def test_build_graph_auto_config(rng):
     g2 = build_graph(a2.indptr, a2.indices, n, config="auto", symmetric=False)
     assert g2.plan.config.gather_segment == 1
 
+    with pytest.raises(ValueError, match="auto"):
+        build_graph(a2.indptr, a2.indices, n, config="fused")
+
+
+def test_build_graph_auto_scattered_clustered_branch(rng):
+    """Scattered graphs >= 4096 nodes route to tall clustered-subtile
+    windows; forward AND backward correct through spmm_ad's plan-driven
+    subtile dispatch."""
+    from voltrix_spmm_tpu.models import build_graph
+
+    n, d = 4608, 16
+    # strided neighbors: every edge lands in its own 128-segment, so
+    # coverage waste is huge and the fused gate rejects the graph
+    rows = np.repeat(np.arange(n, dtype=np.int64), 2)
+    cols = np.concatenate([(np.arange(n) * 131) % n, (np.arange(n) * 257) % n])
+    a = sp.csr_matrix(
+        (np.ones(rows.shape[0], np.float32), (rows, np.sort(cols.reshape(2, n), 0).T.ravel())),
+        shape=(n, n),
+    )
+    a = ((a + a.T) != 0).astype(np.float32).tocsr()
+    g = build_graph(a.indptr, a.indices, n, config="auto", symmetric=True)
+    assert g.plan.config.cluster_cols and g.plan.config.block_h == 1024
+    x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    out = np.asarray(aggregate(g, x, mode="sum"))
+    np.testing.assert_allclose(out, a @ np.asarray(x), rtol=1e-4, atol=1e-3)
+    grad = jax.grad(lambda xj: jnp.sum(aggregate(g, xj, mode="sum") ** 2))(x)
+    dense = a.toarray()
+    want = 2.0 * dense.T @ (dense @ np.asarray(x))
+    np.testing.assert_allclose(np.asarray(grad), want, rtol=1e-4, atol=1e-2)
+
+
+def test_build_graph_auto_asymmetric_transpose_gate(rng):
+    """The auto gate evaluates A^T on ITS OWN coverage: one dense ROW
+    makes A coverage-wasteful (cov=1.0, every covered row distinct) but
+    its transpose is one dense COLUMN (every window covers only segment
+    0 -> cov ~0.08, fused-eligible). The two plans must diverge."""
+    from voltrix_spmm_tpu.models import build_graph
+
+    n = 4608
+    indptr = np.zeros(n + 1, np.int64)
+    indptr[1:] = n  # row 0 has all n neighbors, others empty
+    indices = np.arange(n, dtype=np.int64)
+    g = build_graph(indptr, indices, n, config="auto", symmetric=False)
+    assert g.plan.config.gather_segment == 1, "A must not get a coverage plan"
+    assert g.plan_t.config.gather_segment == 128, (
+        "A^T (a dense column) is fused-eligible on its own coverage"
+    )
+    x = jnp.asarray(rng.standard_normal((n, 8)).astype(np.float32))
+    out = np.asarray(aggregate(g, x, mode="sum"))
+    want = np.zeros((n, 8), np.float32)
+    want[0] = np.asarray(x).sum(axis=0)
+    np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-3)
+
 
 def test_aggregate_mean_matches_scipy(rng):
     a, g = small_graph(rng)

@@ -176,7 +176,12 @@ def _load_user_stats() -> None:
         return
     _user_stats_loaded = True
     path = os.environ.get("VOLTRIX_TPU_PROXY_STATS", "")
-    if not path or not os.path.exists(path):
+    if not path:
+        return
+    if not os.path.exists(path):
+        logger.warning(
+            "$VOLTRIX_TPU_PROXY_STATS=%s does not exist; ignoring", path
+        )
         return
     import json
 

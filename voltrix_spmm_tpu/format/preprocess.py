@@ -278,6 +278,23 @@ def coverage_expansion(
     return float(np.unique(keys).shape[0] * seg) / nnz
 
 
+# the fused bulk-DMA kernel is eligible when an h2048/seg128 coverage
+# plan wastes at most this many gather rows per nnz (measured regime
+# boundary; one constant shared by the tuner, the bench harness, and
+# the model-layer auto config so the gate can't drift between them)
+FUSED_COVERAGE_THRESHOLD = 0.5
+
+
+def fused_auto_config(indptr, indices, num_nodes: int):
+    """The fused bulk-DMA plan config when this matrix's coverage waste
+    is under `FUSED_COVERAGE_THRESHOLD`, else None (caller falls back
+    to a pregather config)."""
+    cov = coverage_expansion(indptr, indices, num_nodes, 2048, 128)
+    if cov <= FUSED_COVERAGE_THRESHOLD:
+        return PlanConfig(2048, 128, gather_segment=128, block_unroll=4)
+    return None
+
+
 def csr_transpose(indptr, indices, num_nodes: int, values=None,
                   num_cols: int | None = None):
     """CSR(A) -> CSR(A^T) on the host (counting sort, no scipy).

@@ -61,20 +61,26 @@ def build_graph(
     `coverage_expansion` gate without timing anything."""
     import scipy.sparse as sp
 
-    if config == "auto":
-        from ..format.preprocess import coverage_expansion
+    auto = config == "auto"
+    if isinstance(config, str) and not auto:
+        raise ValueError(
+            f"unknown config {config!r}: pass a PlanConfig or 'auto'"
+        )
 
-        cov = coverage_expansion(indptr, indices, num_nodes, 2048, 128)
-        if cov <= 0.5:
-            config = PlanConfig(
-                2048, 128, gather_segment=128, block_unroll=4
-            )
-        elif num_nodes >= 4096:
-            config = PlanConfig(
-                1024, 128, block_unroll=4, cluster_cols=True
-            )
-        else:
-            config = PlanConfig()
+    def pick_config(ptr, idx):
+        # coverage gate shared with the tuner/bench (fused_auto_config);
+        # scattered graphs get tall clustered-subtile windows
+        from ..format.preprocess import fused_auto_config
+
+        cfg = fused_auto_config(ptr, idx, num_nodes)
+        if cfg is not None:
+            return cfg
+        if num_nodes >= 4096:
+            return PlanConfig(1024, 128, block_unroll=4, cluster_cols=True)
+        return PlanConfig()
+
+    if auto:
+        config = pick_config(indptr, indices)
     plan = csr_preprocess(indptr, indices, num_nodes, config, backend=backend)
     a = sp.csr_matrix(
         (
@@ -90,7 +96,16 @@ def build_graph(
     if symmetric:
         plan_t = plan
     else:
-        plan_t = csr_preprocess(at.indptr, at.indices, num_nodes, config, backend=backend)
+        # asymmetric graphs gate A^T on ITS OWN coverage: a matrix with
+        # local rows but scattered columns must not get a seg-128
+        # coverage plan for its transpose (GB-scale on big graphs);
+        # spmm_ad dispatches per-plan, so mixed configs are fine
+        config_t = (
+            pick_config(at.indptr, at.indices) if auto else config
+        )
+        plan_t = csr_preprocess(
+            at.indptr, at.indices, num_nodes, config_t, backend=backend
+        )
     deg = np.asarray(a.sum(axis=1)).reshape(num_nodes, 1)
     inv_deg = (1.0 / np.maximum(deg, 1.0)).astype(np.float32)
     inv_sqrt_deg = (1.0 / np.sqrt(np.maximum(deg, 1.0))).astype(np.float32)

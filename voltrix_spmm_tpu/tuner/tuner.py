@@ -31,7 +31,7 @@ import numpy as np
 
 from ..format.hybrid import HybridPlan
 from ..format.plan import PlanConfig, SpmmPlan
-from ..format.preprocess import csr_preprocess
+from ..format.preprocess import FUSED_COVERAGE_THRESHOLD, csr_preprocess
 from ..project import const
 from ..utils import device_loop_bench, env_flag
 
@@ -136,7 +136,7 @@ def default_space(
             Variant("pregather", block_h=512, block_unroll=4,
                     stream_chunks=16),
         ]
-        if coverage128 is not None and coverage128 <= 0.5:
+        if coverage128 is not None and coverage128 <= FUSED_COVERAGE_THRESHOLD:
             # fused streams X straight through VMEM — no materialized
             # gather, so it fits where pregather needs chunking
             space.append(Variant("fused", block_h=2048, gather_segment=128, block_unroll=4))
@@ -158,10 +158,10 @@ def default_space(
         Variant("pregather", block_h=2048, block_unroll=4, subtile=True),
         Variant("hybrid", block_h=128, gather_segment=8),
     ]
-    fused_ok = coverage128 is None or coverage128 <= 0.5
+    fused_ok = coverage128 is None or coverage128 <= FUSED_COVERAGE_THRESHOLD
     if fused_ok:
         space.append(Variant("fused", block_h=2048, gather_segment=128, block_unroll=4))
-    elif coverage32 is not None and coverage32 <= 0.5:
+    elif coverage32 is not None and coverage32 <= FUSED_COVERAGE_THRESHOLD:
         # mid-locality regime: 128-row runs too wasteful but 32-row runs
         # still cover cheaply (e.g. RCM-ordered community graphs)
         space.append(
