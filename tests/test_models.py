@@ -131,6 +131,30 @@ def test_build_graph_auto_asymmetric_transpose_gate(rng):
     np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-3)
 
 
+def test_spmm_ad_dispatches_hybrid_plan(rng):
+    """spmm_ad trains through a HybridPlan forward (the rmat-17 d512
+    sweep winner) with a regular transpose plan for the backward."""
+    from voltrix_spmm_tpu.format import csr_preprocess
+    from voltrix_spmm_tpu.format.hybrid import csr_preprocess_hybrid
+    from voltrix_spmm_tpu.ops import spmm_ad, spmm_scipy
+
+    n, d = 300, 24
+    a = sp.random(n, n, density=0.04, format="csr", random_state=rng)
+    a = ((a + a.T) != 0).astype(np.float32).tocsr()
+    hp = csr_preprocess_hybrid(a.indptr, a.indices, n)
+    plan_t = csr_preprocess(a.indptr, a.indices, n, PlanConfig(32, 128))
+    x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    out = np.asarray(spmm_ad(hp, plan_t, x))
+    np.testing.assert_allclose(
+        out, spmm_scipy(a.indptr, a.indices, n, np.asarray(x)),
+        rtol=1e-4, atol=1e-4,
+    )
+    g = jax.grad(lambda xj: jnp.sum(spmm_ad(hp, plan_t, xj) ** 2))(x)
+    dense = a.toarray()
+    want = 2.0 * dense.T @ (dense @ np.asarray(x))
+    np.testing.assert_allclose(np.asarray(g), want, rtol=1e-4, atol=1e-3)
+
+
 def test_aggregate_mean_matches_scipy(rng):
     a, g = small_graph(rng)
     n = a.shape[0]

@@ -19,9 +19,17 @@ from .pallas_spmm import spmm_pallas
 
 def _dispatch(plan, feat):
     """Coverage plans (gather_segment >= 8) run the fused bulk-DMA
-    kernel and column-clustered plans run the subtile kernel — the
-    measured winners on their regimes — so GCN training gets the right
-    kernel in both directions from the plan alone."""
+    kernel, column-clustered plans the subtile kernel, and HybridPlans
+    the dense/sparse split — the measured winners on their regimes — so
+    GCN training gets the right kernel in both directions from the plan
+    alone. `plan` and `plan_t` are independent: either side may be any
+    plan type as long as it encodes the right matrix."""
+    from ..format.hybrid import HybridPlan
+
+    if isinstance(plan, HybridPlan):
+        from .hybrid import spmm_pallas_hybrid
+
+        return spmm_pallas_hybrid(plan, feat)
     if plan.config.gather_segment >= 8:
         from .pallas_spmm_fused import spmm_pallas_fused
 
