@@ -256,3 +256,85 @@ def test_aggregate_sym_matches_scipy(rng):
     dinv = 1.0 / np.sqrt(deg)
     expect = dinv * (a @ (dinv * x))
     np.testing.assert_allclose(out, expect, rtol=1e-5, atol=1e-4)
+
+
+def test_appnp_matches_dense_propagation(rng):
+    """APPNP forward equals the dense K-step PPR recursion."""
+    from voltrix_spmm_tpu.models import appnp_forward, init_appnp
+
+    a, g = small_graph(rng)
+    n, d, hidden, classes = a.shape[0], 12, 8, 4
+    params = init_appnp(jax.random.PRNGKey(0), d, hidden, classes)
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    k, alpha = 5, 0.15
+    out = np.asarray(appnp_forward(params, g, jnp.asarray(x), k=k, alpha=alpha))
+
+    deg = np.maximum(np.asarray(a.sum(1)).ravel(), 1.0)
+    dinv = 1.0 / np.sqrt(deg)
+    ahat = dinv[:, None] * a.toarray() * dinv[None, :]
+    h = np.maximum(x @ np.asarray(params["w1"]) + np.asarray(params["b1"]), 0)
+    h = h @ np.asarray(params["w2"]) + np.asarray(params["b2"])
+    z = h.copy()
+    for _ in range(k):
+        z = (1 - alpha) * (ahat @ z) + alpha * h
+    np.testing.assert_allclose(out, z, rtol=1e-4, atol=1e-3)
+
+
+def test_appnp_trains(rng):
+    import optax
+
+    from voltrix_spmm_tpu.models import appnp_loss, init_appnp
+
+    a, g = small_graph(rng)
+    n, d, classes = a.shape[0], 12, 4
+    params = init_appnp(jax.random.PRNGKey(1), d, 8, classes)
+    x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, classes, size=n))
+    tx = optax.adam(1e-2)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(p, o):
+        loss, grads = jax.value_and_grad(appnp_loss)(p, g, x, y)
+        updates, o = tx.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, loss
+
+    params, opt_state, loss0 = step(params, opt_state)
+    for _ in range(5):
+        params, opt_state, loss = step(params, opt_state)
+    assert np.isfinite(float(loss)) and float(loss) < float(loss0)
+
+
+def test_dropedge_expectation_and_determinism(rng):
+    from voltrix_spmm_tpu.models import build_dropedge_graph, dropedge_aggregate
+
+    n, d = 300, 16
+    a = sp.random(n, n, density=0.05, format="csr", random_state=rng)
+    a.data[:] = 1.0
+    g = build_dropedge_graph(a.indptr, a.indices, n, PlanConfig(32, 128))
+    x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+
+    # deterministic mode = exact full-graph aggregation
+    out = np.asarray(
+        dropedge_aggregate(g, x, jax.random.PRNGKey(0), deterministic=True)
+    )
+    np.testing.assert_allclose(out, a @ np.asarray(x), rtol=1e-4, atol=1e-3)
+
+    # stochastic mode: mean over draws approaches the full aggregation
+    acc = np.zeros((n, d), np.float32)
+    reps = 48
+    for i in range(reps):
+        acc += np.asarray(
+            dropedge_aggregate(g, x, jax.random.PRNGKey(i), keep_prob=0.7)
+        )
+    err = np.abs(acc / reps - a @ np.asarray(x)).mean()
+    scale = np.abs(a @ np.asarray(x)).mean()
+    assert err < 0.25 * scale, (err, scale)
+    # and gradients flow
+    grad = jax.grad(
+        lambda xj: jnp.sum(
+            dropedge_aggregate(g, xj, jax.random.PRNGKey(3), keep_prob=0.7)
+            ** 2
+        )
+    )(x)
+    assert np.isfinite(np.asarray(grad)).all()

@@ -2,6 +2,12 @@ from .graph import GraphData, build_graph, aggregate
 from .gcn import init_gcn, gcn_forward, gcn_loss, make_train_step
 from .sage import init_sage, sage_forward
 from .gin import init_gin, gin_forward
+from .appnp import init_appnp, appnp_forward, appnp_loss
+from .dropedge import (
+    DropEdgeGraph,
+    build_dropedge_graph,
+    dropedge_aggregate,
+)
 from .gat import (
     GatGraph,
     build_gat_graph,
@@ -24,6 +30,12 @@ __all__ = [
     "sage_forward",
     "init_gin",
     "gin_forward",
+    "init_appnp",
+    "appnp_forward",
+    "appnp_loss",
+    "DropEdgeGraph",
+    "build_dropedge_graph",
+    "dropedge_aggregate",
     "GatGraph",
     "build_gat_graph",
     "init_gat",
