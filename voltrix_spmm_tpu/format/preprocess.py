@@ -66,6 +66,15 @@ def csr_preprocess(
         assert not config.cluster_cols, (
             "weighted plans do not support column clustering yet"
         )
+        if config.block_h % 32 != 0:
+            # surface the constraint at build time: the forward kernel
+            # accepts block_h % 8 but the dvalues backward needs whole
+            # bitmask words (% 32) — failing here beats failing mid-train
+            raise ValueError(
+                f"weighted plans need block_h % 32 == 0 (got "
+                f"{config.block_h}): spmm_weighted_dvalues packs row bits "
+                "in uint32 words"
+            )
         values = np.asarray(values, dtype=np.float32)
         assert values.shape == indices.shape
         # the value plane is built by the numpy path; the native backend

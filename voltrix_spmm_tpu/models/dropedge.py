@@ -79,10 +79,13 @@ def dropedge_aggregate(
     1/keep_prob so the expectation matches the full graph. Pass
     deterministic=True (or keep_prob=1.0) at eval time."""
     if deterministic or keep_prob >= 1.0:
-        w = jnp.ones((g.num_edges,), x.dtype)
-    else:
-        keep = jax.random.bernoulli(key, keep_prob, (g.num_edges,))
-        w = keep.astype(x.dtype) / keep_prob
+        # all-ones weights == binary aggregation: skip the value-plane
+        # scatter + weighted kernel entirely at eval time
+        from ..ops.autodiff import spmm_ad
+
+        return spmm_ad(g.plan, g.plan_t, x)
+    keep = jax.random.bernoulli(key, keep_prob, (g.num_edges,))
+    w = keep.astype(x.dtype) / keep_prob
 
     def plane(plan, slots):
         cfg = plan.config

@@ -27,6 +27,14 @@ def spmm_streamed(plan, feat, *, num_chunks: int = 8, subtile=False, **kwargs):
     from ..format.plan import SpmmPlan as _Plan
     from ..format.stream import slice_plan_windows
 
+    if getattr(plan, "values", None) is not None or (
+        not isinstance(plan, _Plan)
+        and any(getattr(s, "values", None) is not None for s in plan)
+    ):
+        raise ValueError(
+            "plan carries a value plane; spmm_streamed dispatches the "
+            "binary pregather kernel — use ops.spmm(plan, feat)"
+        )
     subs = (
         slice_plan_windows(plan, num_chunks)
         if isinstance(plan, _Plan)

@@ -200,6 +200,13 @@ def spmm_pallas(
     bf16 internally); bfloat16 halves the stream volume; float32 with
     precision="highest" gives near-exact fp32 at ~3x MXU passes.
     """
+    if getattr(plan, "values", None) is not None:
+        # a weighted plan through the binary kernel would silently drop
+        # the value plane and return A@X instead of (A o V)@X
+        raise ValueError(
+            "plan carries a value plane; use ops.spmm(plan, feat) / "
+            "spmm_pallas_weighted — spmm_pallas computes the binary SpMM"
+        )
     n, d = feat.shape
     assert n == plan.source_rows, (n, plan.source_rows)
     out_rows = plan.num_nodes

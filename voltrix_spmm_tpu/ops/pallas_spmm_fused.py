@@ -171,6 +171,11 @@ def spmm_pallas_fused(
     interpret: bool | None = None,
 ) -> jax.Array:
     """out[N, D] = A[N, N] @ feat[N, D], gather fused into the kernel."""
+    if getattr(plan, "values", None) is not None:
+        raise ValueError(
+            "plan carries a value plane; spmm_pallas_fused computes the "
+            "binary SpMM — use ops.spmm(plan, feat)"
+        )
     n, d = feat.shape
     assert n == plan.source_rows, (n, plan.source_rows)
     out_rows = plan.num_nodes

@@ -66,6 +66,11 @@ def spmm_pallas_int8(
     interpret: bool | None = None,
 ) -> jax.Array:
     """out = A @ feat with the gathered feature stream quantized to int8."""
+    if getattr(plan, "values", None) is not None:
+        raise ValueError(
+            "plan carries a value plane; spmm_pallas_int8 computes the "
+            "binary SpMM — use ops.spmm(plan, feat)"
+        )
     n, d = feat.shape
     assert n == plan.source_rows, (n, plan.source_rows)
     out_rows = plan.num_nodes

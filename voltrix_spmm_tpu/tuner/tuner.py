@@ -397,7 +397,7 @@ class SpmmTuner:
             cov128 = coverage_expansion(indptr, indices, num_nodes, 2048, 128)
             cov32 = (
                 coverage_expansion(indptr, indices, num_nodes, 2048, 32)
-                if cov128 > 0.5
+                if cov128 > FUSED_COVERAGE_THRESHOLD
                 else None
             )
             # deduped h512-window gather rows: the honest size estimate
