@@ -11,6 +11,14 @@ from .weighted import (
     spmm_weighted_ad,
     spmm_weighted_dvalues,
 )
+from .ell import (
+    sddmm_ell,
+    sddmm_ell_ad,
+    spmm_ell,
+    spmm_ell_ad,
+    spmm_ell_dvals,
+    spmm_ell_streamed,
+)
 
 
 def spmm_streamed(plan, feat, *, num_chunks: int = 8, subtile=False, **kwargs):
@@ -53,10 +61,16 @@ def spmm(plan, feat, *, impl: str = "auto", **kwargs):
     (quantized stream), "weighted" (per-edge value plane), "reference"
     (plain-JAX oracle).
     """
+    from ..format.ell import EllPlan
     from ..format.hybrid import HybridPlan
 
     if isinstance(plan, HybridPlan):
         return spmm_pallas_hybrid(plan, feat, **kwargs)
+    if isinstance(plan, EllPlan):
+        assert impl in ("auto", "ell"), f"EllPlan cannot run impl={impl!r}"
+        return spmm_ell(plan, feat, **kwargs)
+    if impl == "ell":
+        raise ValueError("impl='ell' needs an EllPlan (csr_preprocess_ell)")
     if impl == "auto":
         if getattr(plan, "values", None) is not None:
             impl = "weighted"
@@ -83,6 +97,12 @@ __all__ = [
     "spmm_pallas_int8",
     "spmm_pallas_hybrid",
     "sddmm",
+    "sddmm_ell",
+    "sddmm_ell_ad",
+    "spmm_ell",
+    "spmm_ell_ad",
+    "spmm_ell_dvals",
+    "spmm_ell_streamed",
     "spmm_pallas_weighted",
     "spmm_weighted_ad",
     "spmm_weighted_dvalues",
