@@ -8,6 +8,14 @@ from .dropedge import (
     build_dropedge_graph,
     dropedge_aggregate,
 )
+from .gat_ell import (
+    EllGraph,
+    build_ell_graph,
+    dot_attention_aggregate,
+    init_gat_dot,
+    gat_dot_forward,
+    gat_dot_loss,
+)
 from .gat import (
     GatGraph,
     build_gat_graph,
@@ -37,6 +45,12 @@ __all__ = [
     "build_dropedge_graph",
     "dropedge_aggregate",
     "GatGraph",
+    "EllGraph",
+    "build_ell_graph",
+    "dot_attention_aggregate",
+    "init_gat_dot",
+    "gat_dot_forward",
+    "gat_dot_loss",
     "build_gat_graph",
     "init_gat",
     "gat_forward",
