@@ -248,3 +248,84 @@ def test_serial_compile_path(problem, tmp_path):
     )
     out = np.asarray(tuned(jnp.asarray(feat)))
     np.testing.assert_allclose(out, oracle, rtol=1e-5, atol=1e-4)
+
+
+def test_weighted_tuning_correct(problem, tmp_path):
+    """values= routes to the weighted space; the winner computes the
+    weighted product (round-2 verdict: tuner had zero weighted variants)."""
+    a, feat, _ = problem
+    vals = np.random.default_rng(5).standard_normal(a.nnz).astype(np.float32)
+    aw = sp.csr_matrix((vals, a.indices, a.indptr), shape=a.shape)
+    tuner = SpmmTuner(cache_dir=str(tmp_path))
+    space = [
+        Variant("ell", block_h=64, block_unroll=2),
+        Variant("ell", block_h=128),
+        Variant("weighted", block_h=64),
+    ]
+    tuned = tuner.compile_and_tune(
+        a.indptr, a.indices, a.shape[0], feat,
+        space=space, iters=1, values=vals,
+    )
+    out = np.asarray(tuned(jnp.asarray(feat)))
+    np.testing.assert_allclose(out, aw @ feat, rtol=1e-4, atol=1e-3)
+    assert tuned.variant.impl in ("ell", "weighted")
+
+
+def test_weighted_tuning_rejects_binary_variants(problem, tmp_path):
+    a, feat, _ = problem
+    vals = np.ones(a.nnz, np.float32)
+    tuner = SpmmTuner(cache_dir=str(tmp_path))
+    with pytest.raises(AssertionError, match="no valid tuning candidate"):
+        # every candidate is binary -> all invalid -> no winner
+        tuner.compile_and_tune(
+            a.indptr, a.indices, a.shape[0], feat,
+            space=[Variant("pregather", block_h=32)], iters=1, values=vals,
+        )
+
+
+def test_weighted_signature_distinct(problem, tmp_path):
+    """Weighted and binary tunes of the same matrix get different cache
+    entries (a shared entry would replay a binary winner for weighted)."""
+    a, feat, _ = problem
+    vals = np.ones(a.nnz, np.float32)
+    tuner = SpmmTuner(cache_dir=str(tmp_path))
+    tuner.compile_and_tune(
+        a.indptr, a.indices, a.shape[0], feat,
+        space=[Variant("pregather", block_h=32)], iters=1, hash_tag="g",
+    )
+    tuner.compile_and_tune(
+        a.indptr, a.indices, a.shape[0], feat,
+        space=[Variant("ell", block_h=64, block_unroll=2)], iters=1,
+        hash_tag="g", values=vals,
+    )
+    entries = [f for f in os.listdir(tmp_path) if f.startswith("tune.g")]
+    assert len(entries) == 2, entries
+
+
+def test_weighted_tuning_with_reordering(problem, tmp_path):
+    """Per-edge values ride through row reorderings correctly."""
+    a, feat, _ = problem
+    vals = np.random.default_rng(9).standard_normal(a.nnz).astype(np.float32)
+    aw = sp.csr_matrix((vals, a.indices, a.indptr), shape=a.shape)
+    tuner = SpmmTuner(cache_dir=str(tmp_path))
+    tuned = tuner.compile_and_tune(
+        a.indptr, a.indices, a.shape[0], feat,
+        space=[Variant("ell", block_h=64, block_unroll=2)], iters=1,
+        values=vals, reorderings=("identity", "degree"),
+    )
+    out = np.asarray(tuned(jnp.asarray(feat)))
+    np.testing.assert_allclose(out, aw @ feat, rtol=1e-4, atol=1e-3)
+
+
+def test_weighted_default_space_shapes():
+    from voltrix_spmm_tpu.tuner import weighted_default_space
+
+    small = weighted_default_space(d=256, nnz=100_000,
+                                   dense_slots_per_nnz=4.0)
+    assert any(v.impl == "weighted" for v in small)
+    assert any(v.impl == "ell" for v in small)
+    sparse = weighted_default_space(d=256, nnz=100_000,
+                                    dense_slots_per_nnz=100.0)
+    assert not any(v.impl == "weighted" for v in sparse)
+    huge = weighted_default_space(d=1024, nnz=40_000_000)
+    assert all(v.stream_chunks for v in huge)

@@ -38,7 +38,7 @@ from ..utils import device_loop_bench, env_flag
 
 @dataclass(frozen=True)
 class Variant:
-    impl: str  # "pregather" | "fused" | "hybrid" | "int8"
+    impl: str  # "pregather" | "fused" | "hybrid" | "int8" | "ell" | "weighted"
     block_h: int = 128
     block_w: int = 128
     gather_segment: int = 1
@@ -78,6 +78,52 @@ class Variant:
             f"/d{self.block_d}/{self.compute_dtype}"
             f"/{self.precision}/t{self.threshold}"
         )
+
+
+def weighted_default_space(
+    d: int | None = None,
+    nnz: int | None = None,
+    accurate: bool = False,
+    dense_slots_per_nnz: float | None = None,
+) -> list[Variant]:
+    """Tuning space for weighted SpMM (per-edge values).
+
+    The workhorse is the edge-per-lane kernel (O(nnz) value memory,
+    ops/ell.py) across window heights; bf16 feature storage halves its
+    gather stream. The dense value-plane kernel ("weighted",
+    ops/weighted.py) joins only when the expanded-slot plane stays
+    within ~8 f32 slots per edge (dense-ish graphs / short windows) —
+    beyond that its memory and stream volume are strictly worse.
+    dense_slots_per_nnz: expanded slots per edge for an h128 dense plan
+    (estimate via `coverage_expansion(..., 128, 1) * 128`)."""
+    space = [
+        Variant("ell", block_h=128, block_unroll=4),
+        Variant("ell", block_h=256, block_unroll=4),
+        Variant("ell", block_h=512, block_unroll=4),
+    ]
+    if not accurate:
+        space += [
+            Variant("ell", block_h=128, block_unroll=4,
+                    feat_dtype="bfloat16"),
+            Variant("ell", block_h=256, block_unroll=4,
+                    feat_dtype="bfloat16"),
+        ]
+    huge = (
+        nnz is not None and d is not None and nnz * d * 4 > 4 * 2**30
+    )
+    if huge:
+        space = [
+            Variant("ell", block_h=128, block_unroll=4, stream_chunks=16),
+            Variant("ell", block_h=128, block_unroll=4, stream_chunks=16,
+                    feat_dtype="bfloat16"),
+            Variant("ell", block_h=256, block_unroll=4, stream_chunks=32,
+                    feat_dtype="bfloat16"),
+        ]
+        if accurate:
+            space = [v for v in space if v.feat_dtype is None]
+    elif dense_slots_per_nnz is not None and dense_slots_per_nnz <= 8.0:
+        space.append(Variant("weighted", block_h=128))
+    return space
 
 
 def default_space(
@@ -227,27 +273,30 @@ class TunedSpmm:
 _REORDER_FNS = None
 
 
-def _reorder(name: str, indptr, indices, num_nodes: int):
-    """Returns (indptr2, indices2, perm|None) for a named ordering."""
+def _reorder(name: str, indptr, indices, num_nodes: int, values=None):
+    """Returns (indptr2, indices2, values2|None, perm|None) for a named
+    ordering; per-edge values ride along through the permutation."""
     global _REORDER_FNS
     if _REORDER_FNS is None:
         from ..data.generate import reorder_degree, reorder_rcm
 
         _REORDER_FNS = {"rcm": reorder_rcm, "degree": reorder_degree}
     if name == "identity":
-        return indptr, indices, None
+        return indptr, indices, values, None
     import scipy.sparse as sp
 
+    data = (
+        np.ones(np.asarray(indices).shape[0], np.float32)
+        if values is None
+        else np.asarray(values, np.float32)
+    )
     a = sp.csr_matrix(
-        (
-            np.ones(np.asarray(indices).shape[0], np.float32),
-            np.asarray(indices),
-            np.asarray(indptr),
-        ),
+        (data, np.asarray(indices), np.asarray(indptr)),
         shape=(num_nodes, num_nodes),
     )
     a2, perm = _REORDER_FNS[name](a)
-    return a2.indptr, a2.indices, np.asarray(perm, np.int32)
+    vals2 = None if values is None else a2.data
+    return a2.indptr, a2.indices, vals2, np.asarray(perm, np.int32)
 
 
 def _run_variant(variant: Variant, plan, feat, perm=None, inv_perm=None):
@@ -277,6 +326,20 @@ def _run_variant(variant: Variant, plan, feat, perm=None, inv_perm=None):
         out = spmm_pallas_hybrid(plan, feat, **kwargs)
     elif variant.impl == "int8":
         out = spmm_pallas_int8(plan, feat, block_d=variant.block_d)
+    elif variant.impl == "ell":
+        from ..ops import spmm_ell, spmm_ell_streamed
+
+        if variant.stream_chunks:
+            out = spmm_ell_streamed(
+                plan, feat, num_chunks=variant.stream_chunks, **kwargs
+            )
+        else:
+            out = spmm_ell(plan, feat, **kwargs)
+    elif variant.impl == "weighted":
+        from ..ops import spmm_pallas_weighted
+
+        out = spmm_pallas_weighted(plan, feat, block_d=variant.block_d,
+                                   precision=variant.precision)
     elif variant.stream_chunks:
         from ..ops import spmm_streamed
 
@@ -363,6 +426,7 @@ class SpmmTuner:
         reorderings: tuple[str, ...] = ("identity",),
         budget_s: float | None = None,
         parallel_compile: bool = False,
+        values=None,
     ) -> TunedSpmm:
         """Pick the fastest (variant, ordering) for this (matrix,
         feature-shape) pair.
@@ -373,6 +437,14 @@ class SpmmTuner:
         transparently inside the returned TunedSpmm (input rows permuted,
         output rows restored). Gather-volume proxies provably misrank
         orderings, so this is the honest selector.
+
+        values: per-edge weights. When given, the space switches to the
+        weighted kernels (impl "ell"/"weighted" — binary variants are
+        rejected as invalid), plans carry the values (riding through any
+        reordering), and the cache signature gets a ".w" marker. Two
+        different value vectors on the same sparsity pattern share a
+        cache entry by design: values change numerics, not kernel
+        choice.
 
         budget_s: soft tuning-time budget in seconds (default from
         $VOLTRIX_TPU_TUNE_BUDGET_S); once exceeded, remaining candidates
@@ -394,6 +466,16 @@ class SpmmTuner:
             from ..format.preprocess import coverage_expansion
 
             nnz = len(indices)
+            if values is not None:
+                # expanded slots/edge of an h128 dense value plane gates
+                # the dense "weighted" candidate
+                slots = (
+                    coverage_expansion(indptr, indices, num_nodes, 128, 1)
+                    * 128
+                )
+                return weighted_default_space(
+                    d=int(feat.shape[1]), nnz=nnz, dense_slots_per_nnz=slots
+                )
             cov128 = coverage_expansion(indptr, indices, num_nodes, 2048, 128)
             cov32 = (
                 coverage_expansion(indptr, indices, num_nodes, 2048, 32)
@@ -433,9 +515,10 @@ class SpmmTuner:
                     len(indices),
                 )
         tag = hash_tag or _matrix_hash(indptr, indices, num_nodes)
+        wmark = ".w" if values is not None else ""
         signature = (
             f"{tag}.n{num_nodes}.d{feat.shape[1]}.{np.dtype(feat.dtype).name}"
-            f".{_code_version()}"
+            f"{wmark}.{_code_version()}"
         )
 
         if signature in self._mem:
@@ -444,18 +527,53 @@ class SpmmTuner:
             return self._mem[signature]
 
         plans: dict = {}
-        csrs: dict = {"identity": (indptr, indices, None)}
+        csrs: dict = {"identity": (indptr, indices, values, None)}
 
         def csr_for(ordering: str):
             if ordering not in csrs:
-                csrs[ordering] = _reorder(ordering, indptr, indices, num_nodes)
+                csrs[ordering] = _reorder(
+                    ordering, indptr, indices, num_nodes, values
+                )
             return csrs[ordering]
 
         def plan_for_variant(variant: Variant, ordering: str = "identity"):
             import jax
 
-            ptr, idx, _ = csr_for(ordering)
+            ptr, idx, vals, _ = csr_for(ordering)
             cfg = variant.plan_config
+            if values is not None and variant.impl not in ("ell", "weighted"):
+                # a binary variant would tune (and win with) the WRONG
+                # result — same discipline as the kernel-level guards
+                raise ValueError(
+                    f"variant {variant.key()} is binary; weighted tuning "
+                    "accepts impl='ell' or impl='weighted' only"
+                )
+            if variant.impl == "ell":
+                from ..format.ell import csr_preprocess_ell, slice_ell_windows
+
+                key = (ordering, "ell", cfg, variant.stream_chunks)
+                if key not in plans:
+                    base = csr_preprocess_ell(
+                        ptr, idx, num_nodes, cfg, values=vals
+                    )
+                    plans[key] = (
+                        [
+                            s.device()
+                            for s in slice_ell_windows(
+                                base, variant.stream_chunks
+                            )
+                        ]
+                        if variant.stream_chunks
+                        else base.device()
+                    )
+                return plans[key]
+            if variant.impl == "weighted":
+                key = (ordering, "weighted", cfg)
+                if key not in plans:
+                    plans[key] = csr_preprocess(
+                        ptr, idx, num_nodes, cfg, values=vals
+                    ).device()
+                return plans[key]
             if variant.impl == "hybrid":
                 key = (ordering, "hybrid", cfg, variant.threshold)
                 if key not in plans:
@@ -499,7 +617,7 @@ class SpmmTuner:
         def perm_arrays(ordering: str):
             import jax.numpy as jnp
 
-            _, _, perm = csr_for(ordering)
+            perm = csr_for(ordering)[3]
             if perm is None:
                 return None, None
             inv = np.empty_like(perm)
@@ -545,6 +663,10 @@ class SpmmTuner:
 
         def plan_key(variant: Variant, ordering: str):
             cfg = variant.plan_config
+            if variant.impl == "ell":
+                return (ordering, "ell", cfg, variant.stream_chunks)
+            if variant.impl == "weighted":
+                return (ordering, "weighted", cfg)
             if variant.impl == "hybrid":
                 return (ordering, "hybrid", cfg, variant.threshold)
             if variant.stream_chunks:
