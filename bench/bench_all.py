@@ -64,6 +64,27 @@ def methods_registry():
         plan = csr_preprocess(a.indptr, a.indices, a.shape[0], cfg).device()
         return (lambda x, p: spmm_pallas_fused(p, x)), plan
 
+    def csr_ell(a, feat):
+        # hand-authored row-parallel CSR Pallas kernel (the GE-SpMM
+        # role, reference bench/scripts/gespmm.cu:469-786): raw CSR
+        # edges padded per window, no dedup/bitmask/coverage — the
+        # control that shows the binned format (not merely "Pallas")
+        # is the win. Streams window chunks when the gather is large,
+        # so it also covers the d=1024 cells where BCOO compile-fails
+        # and XLA-gather exceeds HBM.
+        from voltrix_spmm_tpu.format.ell import (
+            csr_preprocess_ell,
+            slice_ell_windows,
+        )
+        from voltrix_spmm_tpu.ops import spmm_ell, spmm_ell_streamed
+
+        cfg = PlanConfig(128, 128, block_unroll=4)
+        plan = csr_preprocess_ell(a.indptr, a.indices, a.shape[0], cfg)
+        if a.nnz * feat.shape[1] * 4 > 2 * 2**30:
+            plans = [s.device() for s in slice_ell_windows(plan, 16)]
+            return (lambda x, p: spmm_ell_streamed(p, x)), plans
+        return (lambda x, p: spmm_ell(p, x)), plan.device()
+
     def bcoo(a, feat):
         return make_bcoo_spmm(a), None
 
@@ -88,7 +109,8 @@ def methods_registry():
         "Voltrix-pregather": voltrix_pregather,
         "Voltrix-fused": voltrix_fused,
         "BCOO": bcoo,  # vendor sparse baseline (cuSPARSE role)
-        "XLA-gather": xla_gather,  # hand CSR baseline (GE-SpMM role)
+        "CSR-ELL": csr_ell,  # hand Pallas row-parallel CSR (GE-SpMM role)
+        "XLA-gather": xla_gather,  # XLA gather+segment-sum baseline
         "Dense": dense,  # densified matmul (MXU roofline reference)
     }
 

@@ -123,7 +123,7 @@ def test_ell_streamed_matches(rng):
         spmm_ell_streamed(plan, jnp.asarray(feat), num_chunks=3)
     )
     np.testing.assert_allclose(chunked, full, rtol=1e-5, atol=1e-5)
-    subs = slice_ell_windows(plan, 3)
+    subs = [s.device() for s in slice_ell_windows(plan, 3)]
     pre = np.asarray(spmm_ell_streamed(subs, jnp.asarray(feat)))
     np.testing.assert_allclose(pre, full, rtol=1e-5, atol=1e-5)
 

@@ -392,3 +392,72 @@ def test_balanced_training_matches_unbalanced(rng):
         _, loss = step(params, jnp.asarray(x), jnp.asarray(y))
         losses[balance] = float(loss)
     np.testing.assert_allclose(losses[True], losses[False], rtol=1e-5)
+
+
+def test_distributed_updates_match_dense_oracle(rng):
+    """PARAMETER-update parity for all three trainers vs a dense-oracle
+    SGD step (round-3 fix: under check_vma=False the transpose of an
+    in-body lax.psum is psum again — the row-sharded trainer trained
+    with ndev-scaled gradients and dp x tp with tp-scaled W grads;
+    loss-only parity never caught either)."""
+    import optax
+
+    from jax.sharding import Mesh
+    from voltrix_spmm_tpu.data import erdos_renyi_csr, symmetrize
+    from voltrix_spmm_tpu.parallel import (
+        build_ring_sharded_plan,
+        build_row_sharded_plan,
+        make_ring_train_step,
+        make_row_sharded_train_step,
+    )
+
+    n, d, classes, ndev = 256, 32, 4, 8
+    a = symmetrize(erdos_renyi_csr(n, 0.02, seed=0))
+    params = init_gcn(jax.random.PRNGKey(0), d, 16, classes)
+    deg = np.maximum(np.diff(a.indptr).astype(np.float32), 1.0)
+
+    def dense_step(n_pad, x, y, invd, lr=1e-2):
+        ap = np.zeros((n_pad, n_pad), np.float32)
+        ap[:n, :n] = a.toarray()
+        apj, invdj = jnp.asarray(ap), jnp.asarray(invd.reshape(-1, 1))
+        xf, yf = jnp.asarray(x), jnp.asarray(y)
+
+        def loss(p):
+            h = invdj * (apj @ xf)
+            h = jax.nn.relu(h @ p["w1"] + p["b1"])
+            h = invdj * (apj @ h)
+            logits = h @ p["w2"] + p["b2"]
+            mask = yf >= 0
+            l = optax.softmax_cross_entropy_with_integer_labels(
+                logits, jnp.maximum(yf, 0)
+            )
+            return jnp.where(mask, l, 0.0).sum() / jnp.maximum(mask.sum(), 1)
+
+        g = jax.grad(loss)(params)
+        return jax.tree.map(lambda p, gr: p - lr * gr, params, g)
+
+    def max_delta(t1, t2):
+        return max(
+            float(jnp.max(jnp.abs(u - v)))
+            for u, v in zip(jax.tree.leaves(t1), jax.tree.leaves(t2))
+        )
+
+    mesh = Mesh(np.asarray(jax.devices()[:ndev]), ("data",))
+    for builder, stepper in (
+        (build_row_sharded_plan, make_row_sharded_train_step),
+        (build_ring_sharded_plan, make_ring_train_step),
+    ):
+        plan = builder(
+            a.indptr, a.indices, n, ndev, CFG, with_transpose=True
+        )
+        n_pad = plan.num_nodes
+        invd = np.zeros(n_pad, np.float32)
+        invd[:n] = 1.0 / deg
+        x = np.zeros((n_pad, d), np.float32)
+        x[:n] = rng.standard_normal((n, d))
+        y = np.full(n_pad, -100, np.int32)
+        y[:n] = rng.integers(0, classes, n)
+        step = stepper(plan, mesh, invd, lr=1e-2)
+        new_p, loss = step(params, jnp.asarray(x), jnp.asarray(y))
+        want = dense_step(n_pad, x, y, invd)
+        assert max_delta(new_p, want) < 1e-5, stepper.__name__

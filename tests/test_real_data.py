@@ -95,3 +95,61 @@ def test_published_inventory_matches_reference_list():
     for name in ("reddit", "ogbn-products", "ogbn-arxiv", "ddi",
                  "amazon0505", "web-BerkStan", "ppi"):
         assert name in PUBLISHED
+
+
+def test_tcgnn_npz_through_full_bench_path(tmp_path, rng, monkeypatch, capsys):
+    """Protocol drill (round-2 verdict Next #9): a TC-GNN-format npz
+    dropped into $VOLTRIX_TPU_DATASETS flows through the REAL bench
+    chain — graph_gen.generate(name) -> load_graph (real file, no
+    proxy) -> reorder -> bench method -> oracle validation — so the day
+    genuine files land, everything works first try."""
+    import os
+    import sys
+
+    import jax.numpy as jnp
+
+    bench_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench"
+    )
+    sys.path.insert(0, bench_dir)
+    try:
+        import bench_all
+        import graph_gen
+    finally:
+        sys.path.remove(bench_dir)
+
+    # write a synthetic graph in the reference's src_li/dst_li protocol
+    n = 600
+    a = sp.random(n, n, density=0.02, format="csr",
+                  random_state=np.random.default_rng(3))
+    rows = np.repeat(np.arange(n), np.diff(a.indptr))
+    datasets = tmp_path / "datasets"
+    datasets.mkdir()
+    np.savez(
+        datasets / "myrealgraph.npz",
+        src_li=rows.astype(np.int64),
+        dst_li=a.indices.astype(np.int64),
+        num_nodes=np.int64(n),
+    )
+    monkeypatch.setenv("VOLTRIX_TPU_DATASETS", str(datasets))
+
+    out_dir = tmp_path / "bench_data"
+    out_dir.mkdir()
+    path = graph_gen.generate("myrealgraph", str(out_dir), reorder=True)
+    assert "myrealgraph: source = myrealgraph" in capsys.readouterr().out, (
+        "real file was not picked up (proxy fallback fired)"
+    )
+    g = graph_gen.load(path)
+
+    from voltrix_spmm_tpu.ops import spmm_scipy
+    from voltrix_spmm_tpu.utils import calc_diff
+
+    feat = np.random.default_rng(0).standard_normal((n, 32)).astype(
+        np.float32
+    )
+    oracle = spmm_scipy(g.indptr, g.indices, n, feat)
+    for method in ("Voltrix-pregather", "CSR-ELL"):
+        fn, plan = bench_all.methods_registry()[method](g, feat)
+        rest = () if plan is None else (plan,)
+        out = np.asarray(fn(jnp.asarray(feat), *rest))
+        assert calc_diff(out, oracle) < 1e-4, method

@@ -108,7 +108,8 @@ class EllPlan:
     def device(self) -> "EllPlan":
         import jax as _jax
 
-        put = lambda a: _jax.device_put(np.asarray(a))
+        # window-sliced sub-plans drop the edge maps (None) — keep them
+        put = lambda a: None if a is None else _jax.device_put(np.asarray(a))
         return dataclasses.replace(
             self,
             hind=put(self.hind),

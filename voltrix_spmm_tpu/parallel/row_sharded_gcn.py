@@ -102,21 +102,31 @@ def make_row_sharded_train_step(
             h = invd_local * _local_aggregate(plan, shard, h, axis)
             return h @ p["w2"] + p["b2"]
 
+        # global valid-row count OUTSIDE the differentiated function: under
+        # check_vma=False the transpose of an in-body psum is psum again,
+        # so differentiating through `psum(sum(losses))` seeds every
+        # device with an ndev-scaled cotangent and the explicit grad psum
+        # below would deliver ndev x the true gradient (measured 8x on the
+        # 8-device dryrun; loss-only parity never caught it)
+        count = jax.lax.psum(jnp.sum(y_local >= 0), axis)
+
         def loss_fn(p):
             logits = forward(p, x_local)
             mask = y_local >= 0
             losses = optax.softmax_cross_entropy_with_integer_labels(
                 logits, jnp.maximum(y_local, 0)
             )
-            losses = jnp.where(mask, losses, 0.0)
-            count = jax.lax.psum(jnp.sum(mask), axis)
-            total = jax.lax.psum(jnp.sum(losses), axis)
-            return total / jnp.maximum(count, 1)
+            # LOCAL numerator over the global count — the per-device
+            # gradient is then exactly this shard's contribution
+            return jnp.sum(jnp.where(mask, losses, 0.0)) / jnp.maximum(
+                count, 1
+            )
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        # loss already globally reduced; grads of replicated params get
-        # contributions from every shard through the all_gather transpose
-        # (psum_scatter) plus the local dense layers -> psum them
+        local_loss, grads = jax.value_and_grad(loss_fn)(params)
+        loss = jax.lax.psum(local_loss, axis)  # full loss, report only
+        # grads of replicated params get contributions from every shard
+        # through the all_gather transpose (psum_scatter) plus the local
+        # dense layers -> psum the per-shard partials
         grads = jax.tree.map(lambda g: jax.lax.psum(g, axis), grads)
         params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
         return params, loss

@@ -66,6 +66,15 @@ def gcn_param_specs():
     }
 
 
+def _allreduce_identity_bwd(x, axis):
+    """Forward all-reduce whose BACKWARD is identity — the Megatron
+    row-parallel rule (each shard's partial receives the plain output
+    cotangent). Under check_vma=False the transpose of a bare lax.psum
+    is psum again, which silently scales every upstream parameter
+    gradient by the axis size (measured tp x on the dryrun mesh)."""
+    return x + jax.lax.stop_gradient(jax.lax.psum(x, axis) - x)
+
+
 def _local_gcn_forward(params, g: GraphData, x: jax.Array) -> jax.Array:
     """Per-device GCN forward; `x` is the local (B_local, N, D) batch
     shard with full features, params are local tensor-parallel shards."""
@@ -75,7 +84,7 @@ def _local_gcn_forward(params, g: GraphData, x: jax.Array) -> jax.Array:
     h = jax.nn.relu(h @ params["w1"] + params["b1"])  # (B, N, H/tp)
     h = aggregate(g, h, mode="mean")  # feature-sharded: no comm
     partial = h @ params["w2"]  # row-parallel partial sums
-    logits = jax.lax.psum(partial, "model") + params["b2"]
+    logits = _allreduce_identity_bwd(partial, "model") + params["b2"]
     return logits
 
 
