@@ -102,3 +102,137 @@ def test_empty_matrix_cluster():
     assert plan.total_blocks == 0
     out = spmm_pallas(plan, jnp.ones((n, 32), jnp.float32))
     assert float(jnp.abs(out).max()) == 0.0
+
+
+def test_native_cluster_matches_numpy(rng):
+    """The C++/OpenMP clustering pass produces the same plan contract as
+    the numpy path: identical dense reconstruction, identical occupancy
+    SEMANTICS (bit s set iff sub-window s occupied), empty lanes last."""
+    from voltrix_spmm_tpu.format import PlanConfig, csr_preprocess
+    from voltrix_spmm_tpu.format.cluster import (
+        block_occupancy,
+        cluster_window_columns,
+    )
+    from voltrix_spmm_tpu.format.preprocess import plan_to_dense
+    from voltrix_spmm_tpu.runtime import native_available, native_cluster
+
+    if not native_available():
+        pytest.skip("no native toolchain")
+    n = 700
+    a = sp.random(n, n, density=0.01, format="csr", random_state=rng)
+    base = csr_preprocess(
+        a.indptr, a.indices, n,
+        PlanConfig(256, 128, block_unroll=2), backend="native",
+    )
+    import copy
+
+    nat = native_cluster(copy.deepcopy(base))
+    ref = cluster_window_columns(copy.deepcopy(base))
+    ref.occ = block_occupancy(np.asarray(ref.bitmask))
+    # same matrix reconstruction
+    np.testing.assert_array_equal(plan_to_dense(nat), plan_to_dense(ref))
+    # occupancy consistent with the (possibly differently tie-broken)
+    # permuted bitmask itself
+    np.testing.assert_array_equal(
+        np.asarray(nat.occ), block_occupancy(np.asarray(nat.bitmask))
+    )
+    # both paths cluster equally well: same per-block occupancy *count*
+    # distribution cost for the subtile kernel
+    def popcnt(v):
+        return np.array([bin(int(x) & 0xFFFFFFFF).count("1") for x in v])
+
+    assert popcnt(np.asarray(nat.occ)).sum() == popcnt(
+        np.asarray(ref.occ)
+    ).sum()
+    # end-to-end: the clustered native plan computes the right product
+    import jax.numpy as jnp
+
+    from voltrix_spmm_tpu.ops import spmm_pallas
+
+    feat = rng.standard_normal((n, 32)).astype(np.float32)
+    out = np.asarray(spmm_pallas(nat, jnp.asarray(feat), subtile=True))
+    np.testing.assert_allclose(out, a.astype(bool) @ feat, rtol=1e-4,
+                               atol=1e-3)
+
+
+def test_csr_preprocess_cluster_uses_native(rng):
+    """backend='native' + cluster_cols returns a plan with occ set and
+    correct results (the csr_preprocess wiring)."""
+    from voltrix_spmm_tpu.format import PlanConfig, csr_preprocess
+    from voltrix_spmm_tpu.runtime import native_available
+
+    if not native_available():
+        pytest.skip("no native toolchain")
+    n = 500
+    a = sp.random(n, n, density=0.02, format="csr", random_state=rng)
+    plan = csr_preprocess(
+        a.indptr, a.indices, n,
+        PlanConfig(128, 128, cluster_cols=True), backend="native",
+    )
+    assert plan.occ is not None and plan.occ.shape[0] == plan.total_blocks
+    import jax.numpy as jnp
+
+    from voltrix_spmm_tpu.ops import spmm_pallas
+
+    feat = rng.standard_normal((n, 24)).astype(np.float32)
+    out = np.asarray(spmm_pallas(plan, jnp.asarray(feat), subtile=True))
+    np.testing.assert_allclose(out, a.astype(bool) @ feat, rtol=1e-4,
+                               atol=1e-3)
+
+
+def test_packed_bitmask_roundtrip(rng):
+    from voltrix_spmm_tpu.format import PlanConfig, csr_preprocess
+    from voltrix_spmm_tpu.format.cluster import (
+        pack_bitmask,
+        packed_stats,
+        unpack_bitmask_device,
+        unpack_bitmask_np,
+    )
+
+    n = 800
+    a = sp.random(n, n, density=0.004, format="csr", random_state=rng)
+    plan = csr_preprocess(
+        a.indptr, a.indices, n,
+        PlanConfig(256, 128, block_unroll=2, cluster_cols=True),
+    )
+    bm = np.asarray(plan.bitmask)
+    packed, ids, nsub = pack_bitmask(bm)
+    assert nsub == 2
+    np.testing.assert_array_equal(
+        unpack_bitmask_np(packed, ids, plan.total_blocks, 8, 128), bm
+    )
+    dev = np.asarray(
+        unpack_bitmask_device(packed, ids, plan.total_blocks, 8, 128)
+    )
+    np.testing.assert_array_equal(dev, bm)
+    st = packed_stats(bm)
+    assert st["packed_bytes"] < st["dense_bytes"]
+
+
+def test_device_packed_and_packed_save(tmp_path, rng):
+    import jax.numpy as jnp
+
+    from voltrix_spmm_tpu.format import PlanConfig, SpmmPlan, csr_preprocess
+    from voltrix_spmm_tpu.ops import spmm_pallas
+
+    n = 700
+    a = sp.random(n, n, density=0.005, format="csr", random_state=rng)
+    plan = csr_preprocess(
+        a.indptr, a.indices, n, PlanConfig(256, 128, cluster_cols=True)
+    )
+    feat = rng.standard_normal((n, 32)).astype(np.float32)
+    want = a.astype(bool) @ feat
+    dp = plan.device_packed()
+    out = np.asarray(spmm_pallas(dp, jnp.asarray(feat), subtile=True))
+    np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-3)
+    # packed save is smaller on-disk and loads back byte-identical
+    import os
+
+    p1 = plan.save(str(tmp_path / "dense.npz"))
+    p2 = plan.save(str(tmp_path / "packed.npz"), packed=True)
+    assert os.path.getsize(p2) < os.path.getsize(p1)
+    back = SpmmPlan.load(p2)
+    np.testing.assert_array_equal(
+        np.asarray(back.bitmask), np.asarray(plan.bitmask)
+    )
+    np.testing.assert_array_equal(np.asarray(back.hind), np.asarray(plan.hind))

@@ -98,7 +98,7 @@ def test_build_graph_auto_scattered_clustered_branch(rng):
     )
     a = ((a + a.T) != 0).astype(np.float32).tocsr()
     g = build_graph(a.indptr, a.indices, n, config="auto", symmetric=True)
-    assert g.plan.config.cluster_cols and g.plan.config.block_h == 1024
+    assert g.plan.config.cluster_cols and g.plan.config.block_h == 2048
     x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
     out = np.asarray(aggregate(g, x, mode="sum"))
     np.testing.assert_allclose(out, a @ np.asarray(x), rtol=1e-4, atol=1e-3)

@@ -145,11 +145,15 @@ class SpmmPlan:
         """Total X rows gathered per full pass (the 'Exp_Edges' analogue)."""
         return self.total_blocks * self.config.block_w
 
-    def save(self, path: str) -> str:
+    def save(self, path: str, packed: bool = False) -> str:
         """Serialize the plan to one .npz (preprocess once, serve from
         many processes — at reddit scale preprocessing is seconds-to-
         minutes while loading is an mmap'd read). Geometry travels in a
-        header array; `SpmmPlan.load` restores the exact plan."""
+        header array; `SpmmPlan.load` restores the exact plan.
+
+        packed=True stores only the occupied 128-row bitmask sub-tiles
+        (~80% smaller at power-law fill; requires block_h % 128 == 0);
+        load() rebuilds the dense bitmask transparently."""
         import json
 
         header = json.dumps(
@@ -164,12 +168,19 @@ class SpmmPlan:
             }
         )
         arrays = {
-            "bitmask": np.asarray(self.bitmask),
             "hind": np.asarray(self.hind),
             "window_of_block": np.asarray(self.window_of_block),
             "block_ptr": np.asarray(self.block_ptr),
             "header": np.frombuffer(header.encode(), np.uint8),
         }
+        if packed and self.config.block_h % 128 == 0:
+            from .cluster import pack_bitmask
+
+            pk, ids, _ = pack_bitmask(np.asarray(self.bitmask))
+            arrays["bitmask_packed"] = pk
+            arrays["bitmask_ids"] = ids
+        else:
+            arrays["bitmask"] = np.asarray(self.bitmask)
         if self.occ is not None:
             arrays["occ"] = np.asarray(self.occ)
         if self.values is not None:
@@ -192,8 +203,17 @@ class SpmmPlan:
         with np.load(path) as z:
             meta = json.loads(bytes(z["header"]).decode())
             cfg = PlanConfig(**meta.pop("config"))
+            if "bitmask_packed" in z:
+                from .cluster import unpack_bitmask_np
+
+                bitmask = unpack_bitmask_np(
+                    z["bitmask_packed"], z["bitmask_ids"],
+                    meta["total_blocks"], cfg.words_per_col, cfg.block_w,
+                )
+            else:
+                bitmask = z["bitmask"]
             return cls(
-                bitmask=z["bitmask"],
+                bitmask=bitmask,
                 hind=z["hind"],
                 window_of_block=z["window_of_block"],
                 block_ptr=z["block_ptr"],
@@ -202,6 +222,52 @@ class SpmmPlan:
                 values=z["values"] if "values" in z else None,
                 **meta,
             )
+
+    def device_packed(self) -> "SpmmPlan":
+        """Move to device shipping only the OCCUPIED 128-row sub-tiles
+        of the bitmask (host pack -> one device scatter rebuilds the
+        dense array the kernels need). At power-law fill the transfer
+        drops ~80% (measured: rmat-19 h2048 clustered, 1.6 GB -> 333 MB)
+        — cold start through the device relay is transfer-dominated.
+        Falls back to .device() when block_h is not a 128 multiple."""
+        if self.config.block_h % 128 != 0 or self.total_blocks == 0:
+            return self.device()
+        from .cluster import pack_bitmask, unpack_bitmask_device
+
+        packed, ids, _ = pack_bitmask(np.asarray(self.bitmask))
+        cfg = self.config
+        import functools
+
+        unpack = jax.jit(
+            functools.partial(
+                unpack_bitmask_device,
+                total_blocks=self.total_blocks,
+                words=cfg.words_per_col,
+                k=cfg.block_w,
+            )
+        )
+        bm_dev = unpack(jax.device_put(packed), jax.device_put(ids))
+        out = self.device_except_bitmask()
+        out.bitmask = bm_dev
+        return out
+
+    def device_except_bitmask(self) -> "SpmmPlan":
+        return dataclasses.replace(
+            self,
+            hind=jax.device_put(np.asarray(self.hind)),
+            window_of_block=jax.device_put(np.asarray(self.window_of_block)),
+            block_ptr=jax.device_put(np.asarray(self.block_ptr)),
+            occ=(
+                None
+                if self.occ is None
+                else jax.device_put(np.asarray(self.occ))
+            ),
+            values=(
+                None
+                if self.values is None
+                else jax.device_put(np.asarray(self.values))
+            ),
+        )
 
     def device(self) -> "SpmmPlan":
         """Move array leaves to the default JAX device."""

@@ -101,11 +101,19 @@ def csr_preprocess(
 
     if config.cluster_cols:
         # two-level windows: sort each window's lanes by sub-window
-        # signature and precompute the subtile skip bitmap
-        from .cluster import block_occupancy, cluster_window_columns
+        # signature and precompute the subtile skip bitmap. The native
+        # pass is window-local (cache-resident, OpenMP) — the numpy path
+        # shuffles the full bitmask through strided copies (118 s vs
+        # ~2 s measured at rmat-19 h2048)
+        if backend == "native":
+            from ..runtime import native_cluster
 
-        plan = cluster_window_columns(plan)
-        plan.occ = block_occupancy(np.asarray(plan.bitmask))
+            plan = native_cluster(plan)
+        else:
+            from .cluster import block_occupancy, cluster_window_columns
+
+            plan = cluster_window_columns(plan)
+            plan.occ = block_occupancy(np.asarray(plan.bitmask))
     return plan
 
 

@@ -26,13 +26,21 @@ class GraphData:
     plan_t: SpmmPlan  # A^T (same object for symmetric graphs)
     inv_deg: object  # float32 (N, 1): 1/max(in-degree, 1)
     inv_sqrt_deg: object = None  # float32 (N, 1): deg^-1/2 (sym norm)
+    # storage dtype the aggregation streams (None = keep x's dtype).
+    # build_graph("auto") sets bfloat16 on large scattered graphs — the
+    # tuner's measured winner halves the gather volume (accumulation
+    # stays f32; bf16-storage accuracy class, rel err <= 1e-2)
+    agg_dtype: object = None
 
     def tree_flatten(self):
-        return (self.plan, self.plan_t, self.inv_deg, self.inv_sqrt_deg), ()
+        return (
+            (self.plan, self.plan_t, self.inv_deg, self.inv_sqrt_deg),
+            (self.agg_dtype,),
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(*children, *aux)
 
     @property
     def num_nodes(self):
@@ -69,14 +77,16 @@ def build_graph(
 
     def pick_config(ptr, idx):
         # coverage gate shared with the tuner/bench (fused_auto_config);
-        # scattered graphs get tall clustered-subtile windows
+        # scattered graphs get tall clustered-subtile windows — h2048,
+        # the tuner's measured power-law winner geometry (h1024 measured
+        # 13x slower than the tuned variant on reordered rmat-17 d256)
         from ..format.preprocess import fused_auto_config
 
         cfg = fused_auto_config(ptr, idx, num_nodes)
         if cfg is not None:
             return cfg
         if num_nodes >= 4096:
-            return PlanConfig(1024, 128, block_unroll=4, cluster_cols=True)
+            return PlanConfig(2048, 128, block_unroll=4, cluster_cols=True)
         return PlanConfig()
 
     if auto:
@@ -109,11 +119,19 @@ def build_graph(
     deg = np.asarray(a.sum(axis=1)).reshape(num_nodes, 1)
     inv_deg = (1.0 / np.maximum(deg, 1.0)).astype(np.float32)
     inv_sqrt_deg = (1.0 / np.sqrt(np.maximum(deg, 1.0))).astype(np.float32)
+    # large scattered graphs stream gathers in bf16 (the tuner's
+    # measured winner: 2.2-3.9x faster gather on v5e, f32 accumulation)
+    agg_dtype = (
+        jnp.bfloat16
+        if auto and config.gather_segment == 1 and num_nodes >= 65536
+        else None
+    )
     return GraphData(
         plan=plan,
         plan_t=plan_t,
         inv_deg=jnp.asarray(inv_deg),
         inv_sqrt_deg=jnp.asarray(inv_sqrt_deg),
+        agg_dtype=agg_dtype,
     )
 
 
@@ -132,13 +150,19 @@ def aggregate(g: GraphData, x: jax.Array, mode: str = "mean") -> jax.Array:
         flat = jnp.transpose(x, (1, 0, 2)).reshape(n, b * d)
         out = aggregate(g, flat, mode)
         return jnp.transpose(out.reshape(n, b, d), (1, 0, 2))
+    out_dtype = x.dtype
+    if g.agg_dtype is not None:
+        x = x.astype(g.agg_dtype)  # thinner gather stream, f32 accum
     if mode == "sym":
         # GCN-paper normalization D^-1/2 A D^-1/2 — binary SpMM composed
         # with diagonal scalings (row/col-scaled weighted SpMM without a
         # per-edge value plane)
         assert g.inv_sqrt_deg is not None, "graph built without sym norm"
-        return g.inv_sqrt_deg * spmm_ad(g.plan, g.plan_t, g.inv_sqrt_deg * x)
-    out = spmm_ad(g.plan, g.plan_t, x)
+        pre = (g.inv_sqrt_deg * x).astype(x.dtype)
+        return (
+            g.inv_sqrt_deg * spmm_ad(g.plan, g.plan_t, pre)
+        ).astype(out_dtype)
+    out = spmm_ad(g.plan, g.plan_t, x).astype(out_dtype)
     if mode == "mean":
         out = g.inv_deg * out
     elif mode != "sum":

@@ -8,15 +8,19 @@ kernel `spmm_mma161616_spa_swizzle_d` (spmm_kernels.cuh:1458-1727):
   spmm_kernels.cuh:498-540) with scheduling left to XLA/Mosaic.
 - Each window walks its blocks (`block_ptr[w]..block_ptr[w+1]`, the
   reference's Pointer1 ragged walk) in a software pipeline that runs
-  *across* window boundaries: while block b feeds the MXU, block b+1's
-  bitmask + gathered X segments are in flight, and block b+2's gather
-  descriptors are already being fetched — the TPU translation of the
-  producer-warp / mbarrier double buffering (spmm_kernels.cuh:1128-1194,
-  1519-1576). Buffer parity follows the *global* block id so the
-  pipeline never drains at a window transition.
+  *across* window boundaries: while block group g feeds the MXU, groups
+  g+1..g+slots-1 have bitmask + gathered X segments in flight, and the
+  next group's gather descriptors are already being fetched — the TPU
+  translation of the producer-warp / mbarrier multi-buffering
+  (spmm_kernels.cuh:1128-1194, 1519-1576; NUM_BUFFERS in {2,4} at
+  :2017,2077 maps to `slots` here x the group width U). Buffer parity
+  follows the *global* group id so the pipeline never drains at a
+  window transition.
 - X rows arrive in `gather_segment`-aligned runs, one
   `pltpu.make_async_copy` per run (the TMA bulk-copy translation,
-  spmm_kernels.cuh:1563-1570), descriptors streamed HBM->SMEM.
+  spmm_kernels.cuh:1563-1570). Descriptors are PACKED: one int32 per
+  seg-run (K/seg per block) instead of per lane — at seg=128 that is
+  128x fewer descriptor bytes on the wire and in SMEM.
 - Only `block_ptr` (one int per window) is scalar-prefetched, so SMEM
   (1 MB) never bounds the matrix size, and empty windows write zeros
   (no uninitialized output tiles).
@@ -43,17 +47,17 @@ def _fused_kernel(
     bp_ref,  # int32 (num_windows + 1,) block prefix per window
     # inputs (all manual-DMA)
     bitmask_ref,  # HBM (total_blocks, words, K) uint32
-    hind_ref,  # HBM (total_blocks, K) int32 gather rows (seg-th = starts)
+    hseg_ref,  # HBM (total_groups, U * nseg) int32 packed run starts
     x_ref,  # HBM (n_pad, d_pad) compute dtype
     # outputs
     out_ref,  # VMEM (block_h, block_d) float32
     # scratch (group granularity: U = block_unroll blocks per step)
-    desc_buf,  # SMEM (2, U, K) int32
-    bm_buf,  # VMEM (2, U, words, K) uint32
-    xg_buf,  # VMEM (2, U * K, block_d) compute dtype
-    desc_sems,  # DMA sems (2,)
-    bm_sems,  # DMA sems (2,)
-    xg_sems,  # DMA sems (2,)
+    desc_buf,  # SMEM (slots, U * nseg) int32
+    bm_buf,  # VMEM (slots, U, words, K) uint32
+    xg_buf,  # VMEM (slots, U * K, block_d) compute dtype
+    desc_sems,  # DMA sems (slots,)
+    bm_sems,  # DMA sems (slots,)
+    xg_sems,  # DMA sems (slots,)
     *,
     block_h: int,
     block_w: int,
@@ -63,18 +67,18 @@ def _fused_kernel(
     precision,
     total_groups: int,
     unroll: int,
+    slots: int,
 ):
-    """Group-unrolled pipeline: each step moves U blocks with ONE
-    descriptor DMA + ONE bitmask DMA + U x-run DMAs (vs 3U per-block
-    DMAs at U=1) and feeds the MXU one (block_h, U*K) @ (U*K, block_d)
-    dot. With 2 groups in flight the pipeline holds 2U blocks of data —
-    the reference's NUM_BUFFERS=4 depth (spmm_kernels.cuh:2074-2108)
-    achieved by widening the stage instead of adding buffers. Plans
-    must be built with block_unroll=U (blocks per window padded to a
-    multiple of U; padding blocks carry zero bits and canonical
-    seg-aligned hind runs, so their DMAs are valid and their dot
-    contributes zeros)."""
+    """Group-unrolled multi-slot pipeline: each step moves U blocks with
+    ONE (tiny, packed) descriptor DMA + ONE bitmask DMA + U*nseg x-run
+    DMAs and feeds the MXU one (block_h, U*K) @ (U*K, block_d) dot.
+    `slots`-deep rotation keeps slots-1 groups of data in flight (the
+    reference's NUM_BUFFERS knob). Plans must be built with
+    block_unroll=U; padding blocks carry zero bits and canonical
+    seg-aligned runs, so their DMAs are valid and their dot contributes
+    zeros."""
     nseg = block_w // seg
+    depth = slots - 1  # data groups in flight ahead of compute
     c = pl.program_id(0)
     w = pl.program_id(1)
     col0 = pl.multiple_of(c * block_d, block_d)
@@ -84,24 +88,24 @@ def _fused_kernel(
 
     def desc_dma(g):
         return pltpu.make_async_copy(
-            hind_ref.at[pl.ds(g * unroll, unroll)],
-            desc_buf.at[g % 2],
-            desc_sems.at[g % 2],
+            hseg_ref.at[pl.ds(g, 1)],
+            desc_buf.at[pl.ds(g % slots, 1)],
+            desc_sems.at[g % slots],
         )
 
     def bm_dma(g):
         return pltpu.make_async_copy(
             bitmask_ref.at[pl.ds(g * unroll, unroll)],
-            bm_buf.at[g % 2],
-            bm_sems.at[g % 2],
+            bm_buf.at[g % slots],
+            bm_sems.at[g % slots],
         )
 
     def xg_dma(g, u, j):
-        start = pl.multiple_of(desc_buf[g % 2, u, j * seg], seg)
+        start = pl.multiple_of(desc_buf[g % slots, u * nseg + j], seg)
         return pltpu.make_async_copy(
             x_ref.at[pl.ds(start, seg), pl.ds(col0, block_d)],
-            xg_buf.at[g % 2, pl.ds(u * block_w + j * seg, seg), :],
-            xg_sems.at[g % 2],
+            xg_buf.at[g % slots, pl.ds(u * block_w + j * seg, seg), :],
+            xg_sems.at[g % slots],
         )
 
     def issue_group(g):
@@ -115,27 +119,30 @@ def _fused_kernel(
     # chunk (empty leading windows share b0 == 0 but have nb == 0)
     @pl.when(jnp.logical_and(b0 == 0, nb > 0))
     def _():
-        desc_dma(0).start()
-        desc_dma(0).wait()
-        issue_group(0)
-        if total_groups > 1:
-            desc_dma(1).start()
+        for s in range(depth):
+            @pl.when(s < total_groups)
+            def _(s=s):
+                desc_dma(s).start()
+                desc_dma(s).wait()
+                issue_group(s)
+        if total_groups > depth:
+            desc_dma(depth).start()
 
     out_ref[...] = jnp.zeros_like(out_ref)
 
     def body(i, _):
         g = g0 + i
-        slot = g % 2
+        slot = g % slots
 
-        # producer side: bring group g+1's data in while g computes
-        @pl.when(g + 1 < total_groups)
+        # producer side: bring group g+depth's data in while g computes
+        @pl.when(g + depth < total_groups)
         def _():
-            desc_dma(g + 1).wait()
-            issue_group(g + 1)
+            desc_dma(g + depth).wait()
+            issue_group(g + depth)
 
-        @pl.when(g + 2 < total_groups)
+        @pl.when(g + depth + 1 < total_groups)
         def _():
-            desc_dma(g + 2).start()
+            desc_dma(g + depth + 1).start()
 
         # consumer side: wait for g's bitmask + gathered rows
         bm_dma(g).wait()
@@ -168,9 +175,14 @@ def spmm_pallas_fused(
     block_d: int | None = None,
     compute_dtype=jnp.float32,
     precision=None,
+    slots: int = 2,
     interpret: bool | None = None,
 ) -> jax.Array:
-    """out[N, D] = A[N, N] @ feat[N, D], gather fused into the kernel."""
+    """out[N, D] = A[N, N] @ feat[N, D], gather fused into the kernel.
+
+    slots: pipeline buffer count (2 = double buffering, 3 = one more
+    group of data in flight — the reference's NUM_BUFFERS=4 class,
+    spmm_kernels.cuh:2074-2108)."""
     if getattr(plan, "values", None) is not None:
         raise ValueError(
             "plan carries a value plane; spmm_pallas_fused computes the "
@@ -188,6 +200,7 @@ def spmm_pallas_fused(
     seg = cfg.gather_segment
     assert seg >= 8, "fused kernel needs a coverage plan (gather_segment >= 8)"
     assert block_h % 32 == 0 and block_w % 128 == 0
+    assert slots >= 2
     if interpret is None:
         interpret = _interpret_default()
 
@@ -195,7 +208,7 @@ def spmm_pallas_fused(
     d_pad = _round_up(d, 128)
     if block_d is None:
         # 4 MB output tile cap (this kernel's manual scratch is small:
-        # 2 x (words, K) bitmask + 2 x (K, block_d) X buffers);
+        # slots x (words, K) bitmask + slots x (K, block_d) X buffers);
         # h2048 x 1024 f32 = 8 MB measured over the scoped-vmem limit
         block_d = _pick_block_d(d_pad, block_h, 4 * 2**20, start=1024)
     d_pad = _round_up(d_pad, block_d)
@@ -210,6 +223,18 @@ def spmm_pallas_fused(
 
     unroll = cfg.block_unroll
     assert plan.total_blocks % unroll == 0, (plan.total_blocks, unroll)
+    total_groups = plan.total_blocks // unroll
+    nseg = block_w // seg
+    # packed descriptors: one run-start per seg-run, grouped per step,
+    # rows padded to 128 lanes (HBM i32 arrays are (1,128)-lane tiled;
+    # DMA slices must cover whole lanes) — at seg=128/U=4 that is one
+    # 512 B descriptor DMA per group vs 2 KB for full hind rows
+    hseg = jnp.asarray(plan.hind)[:, ::seg].reshape(
+        total_groups, unroll * nseg
+    )
+    desc_w = max(128, _round_up(unroll * nseg, 128))
+    if desc_w != unroll * nseg:
+        hseg = jnp.pad(hseg, ((0, 0), (0, desc_w - unroll * nseg)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(num_chunks, plan.num_windows),
@@ -220,12 +245,12 @@ def spmm_pallas_fused(
         ],
         out_specs=pl.BlockSpec((block_h, block_d), lambda c, w, bp: (w, c)),
         scratch_shapes=[
-            pltpu.SMEM((2, unroll, block_w), jnp.int32),
-            pltpu.VMEM((2, unroll, words, block_w), jnp.uint32),
-            pltpu.VMEM((2, unroll * block_w, block_d), compute_dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((slots, desc_w), jnp.int32),
+            pltpu.VMEM((slots, unroll, words, block_w), jnp.uint32),
+            pltpu.VMEM((slots, unroll * block_w, block_d), compute_dtype),
+            pltpu.SemaphoreType.DMA((slots,)),
+            pltpu.SemaphoreType.DMA((slots,)),
+            pltpu.SemaphoreType.DMA((slots,)),
         ],
     )
 
@@ -237,8 +262,9 @@ def spmm_pallas_fused(
         block_d=block_d,
         compute_dtype=compute_dtype,
         precision=precision,
-        total_groups=plan.total_blocks // unroll,
+        total_groups=total_groups,
         unroll=unroll,
+        slots=slots,
     )
     flops = 2 * plan.total_blocks * block_h * block_w * d_pad
     bytes_accessed = (
@@ -260,7 +286,7 @@ def spmm_pallas_fused(
     )(
         jnp.asarray(plan.block_ptr),
         jnp.asarray(plan.bitmask),
-        jnp.asarray(plan.hind),
+        hseg,
         x,
     )
     return out[:out_rows, :d].astype(out_dtype)

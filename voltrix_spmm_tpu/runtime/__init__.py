@@ -7,6 +7,16 @@ compiled on demand by `voltrix_spmm_tpu.jit` (g++ instead of nvcc) and
 called through ctypes.
 """
 
-from .native import native_available, native_preprocess, native_spmm_oracle
+from .native import (
+    native_available,
+    native_cluster,
+    native_preprocess,
+    native_spmm_oracle,
+)
 
-__all__ = ["native_available", "native_preprocess", "native_spmm_oracle"]
+__all__ = [
+    "native_available",
+    "native_cluster",
+    "native_preprocess",
+    "native_spmm_oracle",
+]

@@ -54,6 +54,9 @@ class Variant:
     # ("bfloat16" halves the gather volume — measured 2.2-3.9x faster
     # gather on v5e; accumulation stays f32, accuracy class = bf16
     # storage, rel err <= 1e-2 per BASELINE). None = keep input dtype.
+    slots: int | None = None  # fused only: pipeline buffer count (None=2;
+    # 3 keeps one more group of gathered data in flight — the reference's
+    # NUM_BUFFERS=4 class, spmm_kernels.cuh:2074-2108)
     stream_chunks: int | None = None  # pregather only: dispatch the plan
     # in this many window chunks so peak HBM is one chunk's gather
     # (reddit-class graphs exceed device memory otherwise; see
@@ -73,6 +76,7 @@ class Variant:
         return (
             f"{self.impl}/h{self.block_h}w{self.block_w}s{self.gather_segment}"
             f"u{self.block_unroll}{'st' if self.subtile else ''}"
+            f"{'p' + str(self.slots) if self.slots else ''}"
             f"{'c' + str(self.stream_chunks) if self.stream_chunks else ''}"
             f"{'/x' + self.feat_dtype if self.feat_dtype else ''}"
             f"/d{self.block_d}/{self.compute_dtype}"
@@ -245,6 +249,18 @@ def default_space(
                     compute_dtype="bfloat16",
                 )
             )
+            # deeper pipeline (reference NUM_BUFFERS=4 class): one more
+            # group of gathered data in flight
+            space.append(
+                Variant(
+                    "fused",
+                    block_h=2048,
+                    gather_segment=128,
+                    block_unroll=4,
+                    compute_dtype="bfloat16",
+                    slots=3,
+                )
+            )
     return space
 
 
@@ -321,6 +337,8 @@ def _run_variant(variant: Variant, plan, feat, perm=None, inv_perm=None):
         precision=variant.precision,
     )
     if variant.impl == "fused":
+        if variant.slots:
+            kwargs["slots"] = variant.slots
         out = spmm_pallas_fused(plan, feat, **kwargs)
     elif variant.impl == "hybrid":
         out = spmm_pallas_hybrid(plan, feat, **kwargs)
