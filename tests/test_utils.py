@@ -72,3 +72,54 @@ def test_env_flag(monkeypatch):
     monkeypatch.setenv("VXT_TEST_FLAG", "0")
     assert not env_flag("VXT_TEST_FLAG")
     assert not env_flag("VXT_TEST_FLAG_ABSENT")
+
+
+def test_fp8_per_tensor_roundtrip(rng):
+    import jax.numpy as jnp
+
+    from voltrix_spmm_tpu.utils import (
+        per_tensor_dequant_fp8,
+        per_tensor_quant_fp8,
+    )
+
+    x = rng.standard_normal((64, 64)).astype(np.float32) * 10
+    q, s = per_tensor_quant_fp8(x)
+    assert q.dtype == jnp.float8_e4m3fn
+    back = np.asarray(per_tensor_dequant_fp8(q, s))
+    # e4m3 has ~2 decimal digits: relative error class
+    assert np.abs(back - x).max() / np.abs(x).max() < 0.1
+
+
+def test_fp8_block_quant_outliers(rng):
+    """Per-block scaling isolates outliers: non-outlier blocks keep
+    fine resolution (the point of block vs per-tensor scaling)."""
+    from voltrix_spmm_tpu.utils import (
+        block_dequant_fp8,
+        block_quant_fp8,
+        gen_outlier_normal,
+        per_tensor_dequant_fp8,
+        per_tensor_quant_fp8,
+    )
+
+    x = rng.standard_normal((256, 256)).astype(np.float32)
+    x[0, 0] = 5000.0  # one outlier confined to block (0, 0)
+    del gen_outlier_normal
+    qb, sb = block_quant_fp8(x, (128, 128))
+    assert sb.shape == (2, 2)
+    back_b = np.asarray(block_dequant_fp8(qb, sb, (128, 128)))
+    qt, st = per_tensor_quant_fp8(x)
+    back_t = np.asarray(per_tensor_dequant_fp8(qt, st))
+    err_b = np.abs(back_b - x).mean()
+    err_t = np.abs(back_t - x).mean()
+    assert err_b < err_t  # block scaling strictly better on outlier data
+
+
+def test_fp8_round_quant_cast(rng):
+    import jax.numpy as jnp
+
+    from voltrix_spmm_tpu.utils import round_quant_fp8
+
+    x = np.array([1.0, 2.0, 448.0], np.float32)
+    q = round_quant_fp8(x)
+    assert q.dtype == jnp.float8_e4m3fn
+    np.testing.assert_allclose(np.asarray(q).astype(np.float32), x)

@@ -251,3 +251,66 @@ def gen_outlier_normal(
 
 def env_flag(name: str) -> bool:
     return os.environ.get(name, "0") not in ("", "0", "false", "False")
+
+
+# --- fp8 quantization helpers -------------------------------------------
+# Role parity with the reference's fp8 utilities (voltrix/utils.py:45-115
+# round_quant / per_tensor_quant / block_quant — carried by the reference
+# but unused by its SpMM path; same standing here). E4M3 max-normal is
+# 448, the scale denominator the reference uses.
+
+_FP8_MAX = 448.0  # float8_e4m3fn max normal
+
+
+def round_quant_fp8(x, lfp_t=None):
+    """Plain cast to fp8 (reference round_quant)."""
+    import jax.numpy as jnp
+
+    return jnp.asarray(x).astype(lfp_t or jnp.float8_e4m3fn)
+
+
+def per_tensor_quant_fp8(x, lfp_t=None):
+    """(x_fp8, scale): one absmax/448 scale for the whole tensor."""
+    import jax.numpy as jnp
+
+    x = jnp.asarray(x)
+    scale = jnp.maximum(jnp.max(jnp.abs(x)) / _FP8_MAX, 1e-30)
+    q = (x / scale).astype(lfp_t or jnp.float8_e4m3fn)
+    return q, scale.astype(jnp.float32)
+
+
+def per_tensor_dequant_fp8(q, scale, hfp_t=None):
+    import jax.numpy as jnp
+
+    return q.astype(hfp_t or jnp.float32) * scale
+
+
+def block_quant_fp8(x, blk_shape=(128, 128), lfp_t=None):
+    """(x_fp8, scales (M/bm, N/bn)): per-tile absmax/448 scaling, values
+    clamped to the E4M3 range (reference block_quant semantics, tiles
+    MXU-sized by default)."""
+    import jax.numpy as jnp
+
+    x = jnp.asarray(x)
+    m, n = x.shape
+    bm, bn = blk_shape
+    assert m % bm == 0 and n % bn == 0, (x.shape, blk_shape)
+    qm, qn = m // bm, n // bn
+    t = x.reshape(qm, bm, qn, bn)
+    scales = jnp.max(jnp.abs(t), axis=(1, 3)) / _FP8_MAX  # (qm, qn)
+    scales = jnp.where(scales == 0, 1.0, scales)
+    q = jnp.clip(
+        t / scales[:, None, :, None], -_FP8_MAX, _FP8_MAX
+    ).reshape(m, n).astype(lfp_t or jnp.float8_e4m3fn)
+    return q, scales.astype(jnp.float32)
+
+
+def block_dequant_fp8(q, scales, blk_shape=(128, 128), hfp_t=None):
+    import jax.numpy as jnp
+
+    m, n = q.shape
+    bm, bn = blk_shape
+    qm, qn = scales.shape
+    assert m == qm * bm and n == qn * bn
+    t = q.astype(hfp_t or jnp.float32).reshape(qm, bm, qn, bn)
+    return (t * scales[:, None, :, None]).reshape(m, n)
