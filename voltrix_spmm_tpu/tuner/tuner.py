@@ -185,6 +185,18 @@ def default_space(
                     stream_chunks=32, feat_dtype="bfloat16"),
             Variant("pregather", block_h=512, block_unroll=4,
                     stream_chunks=16),
+            # tall clustered-subtile at scale (unlocked by the native
+            # clustering pass, round 3): community-clustered 100M-nnz
+            # graphs dedup to ~0.1 gather rows/nnz at h2048 and skip
+            # ~72% of sub-tiles — measured 100.65 ms on reddit-proxy
+            # d256 (diff 2.8e-6) where the fused kernel's masked-dense
+            # floor is 153.9 ms. The unstreamed variant OOMs on
+            # low-dedup graphs; the tuner's validity filter drops it
+            # there.
+            Variant("pregather", block_h=2048, block_unroll=4,
+                    subtile=True, feat_dtype="bfloat16"),
+            Variant("pregather", block_h=2048, block_unroll=4,
+                    subtile=True, stream_chunks=8, feat_dtype="bfloat16"),
         ]
         if coverage128 is not None and coverage128 <= FUSED_COVERAGE_THRESHOLD:
             # fused streams X straight through VMEM — no materialized
