@@ -33,12 +33,16 @@ def main(args):
 
     rng = np.random.default_rng(args.seed)
     n, c = args.nodes, args.communities
-    comm = n // c
+    comm = -(-n // c)  # ceil: tail nodes join the last community so
+    # every label stays < c even when n % c != 0
     labels = np.arange(n) // comm
     src = rng.integers(0, n, size=n * 8)
     dst = np.where(
         rng.random(n * 8) < 0.9,
-        (src // comm) * comm + rng.integers(0, comm, size=n * 8),
+        # clip: the last community is partial when n % comm != 0
+        np.minimum(
+            (src // comm) * comm + rng.integers(0, comm, size=n * 8), n - 1
+        ),
         rng.integers(0, n, size=n * 8),
     )
     a = sp.csr_matrix(

@@ -236,3 +236,26 @@ def test_device_packed_and_packed_save(tmp_path, rng):
         np.asarray(back.bitmask), np.asarray(plan.bitmask)
     )
     np.testing.assert_array_equal(np.asarray(back.hind), np.asarray(plan.hind))
+
+
+def test_native_cluster_does_not_mutate_input(rng):
+    """native_cluster must return fresh arrays (the C++ pass permutes
+    lanes through its buffers; the caller's plan stays intact — same
+    contract as cluster_window_columns)."""
+    from voltrix_spmm_tpu.format import PlanConfig, csr_preprocess
+    from voltrix_spmm_tpu.runtime import native_available, native_cluster
+
+    if not native_available():
+        pytest.skip("no native toolchain")
+    n = 700
+    a = sp.random(n, n, density=0.01, format="csr", random_state=rng)
+    base = csr_preprocess(
+        a.indptr, a.indices, n,
+        PlanConfig(256, 128, block_unroll=2), backend="native",
+    )
+    bm0 = np.array(base.bitmask, copy=True)
+    hind0 = np.array(base.hind, copy=True)
+    out = native_cluster(base)
+    np.testing.assert_array_equal(np.asarray(base.bitmask), bm0)
+    np.testing.assert_array_equal(np.asarray(base.hind), hind0)
+    assert out is not base

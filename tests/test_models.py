@@ -338,3 +338,35 @@ def test_dropedge_expectation_and_determinism(rng):
         )
     )(x)
     assert np.isfinite(np.asarray(grad)).all()
+
+
+def test_dropedge_duplicate_edges_eval_matches_training_convention(rng):
+    """Duplicate (row, col) CSR edges sum in the training path's
+    scatter-add; the deterministic/eval path must reproduce that
+    multiplicity instead of the binary bitmask's count-once."""
+    from voltrix_spmm_tpu.models import build_dropedge_graph, dropedge_aggregate
+
+    n, d = 96, 8
+    rows = np.array([0, 0, 1, 2, 5, 5, 5, 40], np.int64)
+    cols = np.array([3, 3, 7, 0, 9, 9, 11, 40], np.int64)  # dups: (0,3)x2, (5,9)x2
+    a = sp.csr_matrix(
+        (np.ones(rows.shape[0], np.float32), (rows, cols)), shape=(n, n)
+    )
+    # scipy csr_matrix sums duplicates at construction — rebuild the
+    # duplicate-carrying CSR explicitly to feed the plan builder
+    order = np.lexsort((cols, rows))
+    indptr = np.zeros(n + 1, np.int64)
+    np.add.at(indptr, rows + 1, 1)
+    indptr = np.cumsum(indptr)
+    indices = cols[order]
+    g = build_dropedge_graph(indptr, indices, n, PlanConfig(32, 128))
+    assert g.has_duplicate_edges
+    x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    out = np.asarray(
+        dropedge_aggregate(g, x, jax.random.PRNGKey(0), deterministic=True)
+    )
+    np.testing.assert_allclose(out, a @ np.asarray(x), rtol=1e-4, atol=1e-4)
+    # no duplicates -> the binary fast path stays in use
+    a2 = sp.random(n, n, density=0.05, format="csr", random_state=rng)
+    g2 = build_dropedge_graph(a2.indptr, a2.indices, n, PlanConfig(32, 128))
+    assert not g2.has_duplicate_edges

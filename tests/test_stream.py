@@ -155,3 +155,18 @@ def test_estimate_gather_bytes(problem):
     plan = csr_preprocess(a.indptr, a.indices, a.shape[0], PlanConfig(64, 128))
     assert estimate_gather_bytes(plan, 256) == plan.gather_rows * 256 * 4
     assert estimate_gather_bytes(10_000, 128, 2) == 10_000 * 128 * 2
+
+
+def test_spmm_streamed_accepts_generator(problem):
+    """The value-plane guard must not consume a one-shot iterable of
+    sub-plans before the dispatch loop materializes it."""
+    import jax.numpy as jnp
+
+    from voltrix_spmm_tpu.ops import spmm_pallas, spmm_streamed
+
+    a, feat, _ = problem
+    plan = csr_preprocess(a.indptr, a.indices, a.shape[0], PlanConfig(64, 128))
+    ref = np.asarray(spmm_pallas(plan, jnp.asarray(feat)))
+    gen = (s for s in slice_plan_windows(plan, 4))
+    out = np.asarray(spmm_streamed(gen, jnp.asarray(feat)))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)

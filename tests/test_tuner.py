@@ -329,3 +329,35 @@ def test_weighted_default_space_shapes():
     assert not any(v.impl == "weighted" for v in sparse)
     huge = weighted_default_space(d=1024, nnz=40_000_000)
     assert all(v.stream_chunks for v in huge)
+
+
+def test_weighted_memory_cache_fresh_values(problem, tmp_path):
+    """Same-structure tunes with DIFFERENT values must not share a
+    memory entry: the cached TunedSpmm embeds its value plane, so a
+    stale hit silently computes (A o V1)@x for a V2 call."""
+    a, feat, _ = problem
+    rng = np.random.default_rng(11)
+    v1 = rng.standard_normal(a.nnz).astype(np.float32)
+    v2 = rng.standard_normal(a.nnz).astype(np.float32)
+    tuner = SpmmTuner(cache_dir=str(tmp_path))
+    space = [Variant("ell", block_h=64, block_unroll=2)]
+    t1 = tuner.compile_and_tune(
+        a.indptr, a.indices, a.shape[0], feat,
+        space=space, iters=1, hash_tag="vals", values=v1,
+    )
+    out1 = np.asarray(t1(jnp.asarray(feat)))
+    t2 = tuner.compile_and_tune(
+        a.indptr, a.indices, a.shape[0], feat,
+        space=space, iters=1, hash_tag="vals", values=v2,
+    )
+    out2 = np.asarray(t2(jnp.asarray(feat)))
+    aw1 = sp.csr_matrix((v1, a.indices, a.indptr), shape=a.shape)
+    aw2 = sp.csr_matrix((v2, a.indices, a.indptr), shape=a.shape)
+    np.testing.assert_allclose(out1, aw1 @ feat, rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(out2, aw2 @ feat, rtol=1e-4, atol=1e-3)
+    # and identical values DO hit the memory cache
+    t3 = tuner.compile_and_tune(
+        a.indptr, a.indices, a.shape[0], feat,
+        space=space, iters=1, hash_tag="vals", values=v2,
+    )
+    assert t3 is t2

@@ -322,20 +322,15 @@ def build_ell_pair(
     in A's original CSR edge order, so per-edge parameters (attention
     weights, dropout masks) feed either side through `lane_values`
     directly — the contract `spmm_ell_ad`/`sddmm_ell_ad` require."""
-    from .preprocess import csr_transpose
-
     indptr = np.asarray(indptr, dtype=np.int64)
     indices = np.asarray(indices, dtype=np.int64)
     plan = csr_preprocess_ell(
         indptr, indices, num_nodes, config, values=values, num_cols=num_cols
     )
-    ptr_t, idx_t, vals_t = csr_transpose(
-        indptr, indices, num_nodes, values=values, num_cols=num_cols
-    )
-    span = num_cols if num_cols is not None else num_nodes
-    plan_t = csr_preprocess_ell(
-        ptr_t, idx_t, span, config_t if config_t is not None else config,
-        values=vals_t, num_cols=num_nodes,
+    plan_t = ell_transpose(
+        indptr, indices, num_nodes, values=values,
+        config=config_t if config_t is not None else config,
+        num_cols=num_cols,
     )
     # rebase plan_t's edge maps: transpose-CSR position p is original
     # edge t_order[p] (csr_transpose's stable counting sort)

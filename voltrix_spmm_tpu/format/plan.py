@@ -32,10 +32,18 @@ static, so ``jax.jit(spmm)`` accepts a plan directly.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from dataclasses import dataclass
 
 import jax
 import numpy as np
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _jit_unpack_bitmask(packed, ids, total_blocks: int, words: int, k: int):
+    from .cluster import unpack_bitmask_device
+
+    return unpack_bitmask_device(packed, ids, total_blocks, words, k)
 
 
 @dataclass(frozen=True)
@@ -236,17 +244,16 @@ class SpmmPlan:
 
         packed, ids, _ = pack_bitmask(np.asarray(self.bitmask))
         cfg = self.config
-        import functools
-
-        unpack = jax.jit(
-            functools.partial(
-                unpack_bitmask_device,
-                total_blocks=self.total_blocks,
-                words=cfg.words_per_col,
-                k=cfg.block_w,
-            )
+        # module-level jit with static geometry: repeated device_packed
+        # calls with the same (total_blocks, words, k) reuse the
+        # compiled scatter instead of re-tracing a fresh partial
+        bm_dev = _jit_unpack_bitmask(
+            jax.device_put(packed),
+            jax.device_put(ids),
+            self.total_blocks,
+            cfg.words_per_col,
+            cfg.block_w,
         )
-        bm_dev = unpack(jax.device_put(packed), jax.device_put(ids))
         out = self.device_except_bitmask()
         out.bitmask = bm_dev
         return out

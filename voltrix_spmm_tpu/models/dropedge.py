@@ -30,11 +30,16 @@ class DropEdgeGraph:
     slots: object  # int32 (nnz,) edge -> plan.values flat slot
     slots_t: object  # int32 (nnz,) edge -> plan_t.values flat slot
     num_edges: int
+    # duplicate (row, col) CSR edges share a slot: the scatter-add path
+    # sums them (coefficient = multiplicity) while the binary bitmask
+    # counts them once — the eval fast path is only equivalent when no
+    # duplicates exist
+    has_duplicate_edges: bool = False
 
     def tree_flatten(self):
         return (
             (self.plan, self.plan_t, self.slots, self.slots_t),
-            (self.num_edges,),
+            (self.num_edges, self.has_duplicate_edges),
         )
 
     @classmethod
@@ -65,6 +70,7 @@ def build_dropedge_graph(
         slots=jnp.asarray(slots, jnp.int32),
         slots_t=jnp.asarray(slots_t, jnp.int32),
         num_edges=int(indices.shape[0]),
+        has_duplicate_edges=bool(np.unique(slots).size != slots.size),
     )
 
 
@@ -79,13 +85,18 @@ def dropedge_aggregate(
     1/keep_prob so the expectation matches the full graph. Pass
     deterministic=True (or keep_prob=1.0) at eval time."""
     if deterministic or keep_prob >= 1.0:
-        # all-ones weights == binary aggregation: skip the value-plane
-        # scatter + weighted kernel entirely at eval time
-        from ..ops.autodiff import spmm_ad
+        if not g.has_duplicate_edges:
+            # all-ones weights == binary aggregation: skip the
+            # value-plane scatter + weighted kernel entirely at eval
+            from ..ops.autodiff import spmm_ad
 
-        return spmm_ad(g.plan, g.plan_t, x)
-    keep = jax.random.bernoulli(key, keep_prob, (g.num_edges,))
-    w = keep.astype(x.dtype) / keep_prob
+            return spmm_ad(g.plan, g.plan_t, x)
+        # duplicate edges must keep their multiplicity (the training
+        # path's scatter-add sums them; the binary bitmask would not)
+        w = jnp.ones((g.num_edges,), x.dtype)
+    else:
+        keep = jax.random.bernoulli(key, keep_prob, (g.num_edges,))
+        w = keep.astype(x.dtype) / keep_prob
 
     def plane(plan, slots):
         cfg = plan.config

@@ -35,19 +35,21 @@ def spmm_streamed(plan, feat, *, num_chunks: int = 8, subtile=False, **kwargs):
     from ..format.plan import SpmmPlan as _Plan
     from ..format.stream import slice_plan_windows
 
-    if getattr(plan, "values", None) is not None or (
-        not isinstance(plan, _Plan)
-        and any(getattr(s, "values", None) is not None for s in plan)
-    ):
-        raise ValueError(
-            "plan carries a value plane; spmm_streamed dispatches the "
-            "binary pregather kernel — use ops.spmm(plan, feat)"
-        )
+    # materialize first: `plan` may be a one-shot iterable (e.g. a
+    # generator over slice_plan_windows), and the value-plane guard
+    # below must not consume it before the dispatch loop
     subs = (
         slice_plan_windows(plan, num_chunks)
         if isinstance(plan, _Plan)
         else list(plan)
     )
+    if getattr(plan, "values", None) is not None or any(
+        getattr(s, "values", None) is not None for s in subs
+    ):
+        raise ValueError(
+            "plan carries a value plane; spmm_streamed dispatches the "
+            "binary pregather kernel — use ops.spmm(plan, feat)"
+        )
     outs = [spmm_pallas(s, feat, subtile=subtile, **kwargs) for s in subs]
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 

@@ -280,8 +280,12 @@ def native_cluster(plan: SpmmPlan) -> SpmmPlan:
         return dataclasses.replace(
             plan, occ=np.zeros(0, np.int32)
         )
-    bm = np.ascontiguousarray(plan.bitmask)
-    hind = np.ascontiguousarray(plan.hind)
+    # the C++ pass permutes lanes IN PLACE through these buffers — copy
+    # unconditionally (ascontiguousarray is a no-copy passthrough on
+    # already-contiguous arrays) so the caller's plan stays intact, the
+    # same non-mutating contract as cluster_window_columns
+    bm = np.array(plan.bitmask, copy=True)
+    hind = np.array(plan.hind, copy=True)
     bp = np.ascontiguousarray(plan.block_ptr, dtype=np.int64)
     occ = np.zeros(plan.total_blocks, np.int32)
     rc = fn(

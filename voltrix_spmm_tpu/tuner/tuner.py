@@ -413,6 +413,20 @@ def _matrix_hash(indptr, indices, num_nodes: int) -> str:
     return md5.hexdigest()[:16]
 
 
+def _values_hash(values) -> str:
+    """Strided-sample hash of the per-edge value contents (same O(1)
+    scheme as `_matrix_hash`). Used ONLY for the in-memory tune cache:
+    a cached TunedSpmm embeds its value plane, so two same-structure
+    tunes with different values must not share a memory entry."""
+    values = np.ascontiguousarray(values)
+    md5 = hashlib.md5()
+    md5.update(np.int64(values.shape[0]).tobytes())
+    step = max(1, values.shape[0] // _SAMPLE)
+    md5.update(values[::step][:_SAMPLE].tobytes())
+    md5.update(values[-16:].tobytes())
+    return md5.hexdigest()[:16]
+
+
 def _code_version() -> str:
     """Hash of the kernel/tuner sources so cache entries invalidate on
     code change (reference compiler.py:45-59 get_repo_version)."""
@@ -550,11 +564,22 @@ class SpmmTuner:
             f"{tag}.n{num_nodes}.d{feat.shape[1]}.{np.dtype(feat.dtype).name}"
             f"{wmark}.{_code_version()}"
         )
+        # The DISK key excludes the value contents on purpose (the
+        # recorded winner is structure-only; the plan is rebuilt from the
+        # caller's values on every disk hit). The MEMORY key must NOT:
+        # a cached TunedSpmm embeds the value plane, so a same-structure
+        # call with different values would silently compute with stale
+        # weights. Sampled hash keeps this O(1) in nnz.
+        mem_key = (
+            signature
+            if values is None
+            else f"{signature}.v{_values_hash(values)}"
+        )
 
-        if signature in self._mem:
+        if mem_key in self._mem:
             if verbose:
                 print(f"voltrix_tpu tune: memory hit for {signature}")
-            return self._mem[signature]
+            return self._mem[mem_key]
 
         plans: dict = {}
         csrs: dict = {"identity": (indptr, indices, values, None)}
@@ -672,7 +697,7 @@ class SpmmTuner:
                 perm=perm,
                 inv_perm=inv_perm,
             )
-            self._mem[signature] = tuned
+            self._mem[mem_key] = tuned
             if verbose:
                 print(f"voltrix_tpu tune: disk hit for {signature}: {variant.key()}")
             return tuned
@@ -806,7 +831,7 @@ class SpmmTuner:
             perm=best[4],
             inv_perm=best[5],
         )
-        self._mem[signature] = tuned
+        self._mem[mem_key] = tuned
 
         os.makedirs(self.cache_dir(), exist_ok=True)
         tmp = disk + ".tmp"
