@@ -78,6 +78,7 @@ def spmm_ell(
     compute_dtype=jnp.float32,
     precision=None,
     interpret: bool | None = None,
+    out_dtype=None,
 ) -> jax.Array:
     """out[N, D] = (A o V)[N, M] @ feat[M, D] over the edge-per-lane plan.
 
@@ -88,7 +89,8 @@ def spmm_ell(
     n, d = feat.shape
     assert n == plan.source_rows, (n, plan.source_rows)
     out_rows = plan.num_nodes
-    out_dtype = feat.dtype
+    if out_dtype is None:
+        out_dtype = feat.dtype
     if plan.total_blocks == 0:
         return jnp.zeros((out_rows, d), out_dtype)
 

@@ -19,12 +19,14 @@ def spmm_pallas_hybrid(
     compute_dtype=jnp.float32,
     precision=None,
     interpret: bool | None = None,
+    out_dtype=None,
 ) -> jax.Array:
     kwargs = dict(
         block_d=block_d,
         compute_dtype=compute_dtype,
         precision=precision,
         interpret=interpret,
+        out_dtype=out_dtype,
     )
     out = None
     if plan.dense.total_blocks > 0:
@@ -33,5 +35,7 @@ def spmm_pallas_hybrid(
         sp = spmm_pallas(plan.sparse, feat, **kwargs)
         out = sp if out is None else out + sp
     if out is None:
-        return jnp.zeros_like(feat)
+        return jnp.zeros_like(
+            feat, dtype=out_dtype if out_dtype is not None else feat.dtype
+        )
     return out

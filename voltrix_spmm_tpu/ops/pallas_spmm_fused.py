@@ -177,6 +177,7 @@ def spmm_pallas_fused(
     precision=None,
     slots: int = 2,
     interpret: bool | None = None,
+    out_dtype=None,
 ) -> jax.Array:
     """out[N, D] = A[N, N] @ feat[N, D], gather fused into the kernel.
 
@@ -191,7 +192,8 @@ def spmm_pallas_fused(
     n, d = feat.shape
     assert n == plan.source_rows, (n, plan.source_rows)
     out_rows = plan.num_nodes
-    out_dtype = feat.dtype
+    if out_dtype is None:
+        out_dtype = feat.dtype
     if plan.total_blocks == 0:
         return jnp.zeros((out_rows, d), out_dtype)
 

@@ -347,6 +347,11 @@ def _run_variant(variant: Variant, plan, feat, perm=None, inv_perm=None):
         block_d=variant.block_d,
         compute_dtype=jnp.dtype(variant.compute_dtype),
         precision=variant.precision,
+        # kernels accumulate f32 and emit out_dtype directly: a bf16
+        # feat_dtype variant would otherwise truncate the accumulators
+        # through a bf16 round-trip (headline diff 2.8e-6 -> 1.4e-6;
+        # time-neutral, XLA fuses the cast pair)
+        out_dtype=out_dtype,
     )
     if variant.impl == "fused":
         if variant.slots:
