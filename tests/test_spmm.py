@@ -221,3 +221,61 @@ def test_spmm_multichunk_feature_dim(rng):
     plan = csr_preprocess(a.indptr, a.indices, n)
     out = np.asarray(spmm_pallas(plan, jnp.asarray(feat), block_d=128))
     np.testing.assert_allclose(out, oracle, rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("impl", ["pregather", "fused", "ell", "hybrid"])
+def test_spmm_out_dtype_skips_bf16_roundtrip(rng, impl):
+    # bf16-storage tuner variants pass the original feature dtype as
+    # out_dtype so the kernels' f32 accumulators reach the caller
+    # untruncated (measured on the rmat-17 headline: diff rate
+    # 2.8e-6 -> 1.4e-6). The f32 result from bf16 inputs must be at
+    # least as accurate as the explicitly bf16-truncated one.
+    n, d = 512, 128
+    a, feat, oracle = make_problem(rng, n, 0.05, d)
+    if impl == "ell":
+        from voltrix_spmm_tpu.format.ell import csr_preprocess_ell
+        from voltrix_spmm_tpu.ops import spmm_ell as fn
+
+        plan = csr_preprocess_ell(a.indptr, a.indices, n, PlanConfig(32, 128))
+    elif impl == "hybrid":
+        from voltrix_spmm_tpu.format import csr_preprocess_hybrid
+        from voltrix_spmm_tpu.ops import spmm_pallas_hybrid as fn
+
+        plan = csr_preprocess_hybrid(
+            a.indptr, a.indices, n,
+            dense_config=PlanConfig(32, 128, 16),
+            sparse_config=PlanConfig(32, 128, 1),
+            threshold=8,
+        )
+    else:
+        from voltrix_spmm_tpu.ops import spmm_pallas_fused
+
+        fn = spmm_pallas if impl == "pregather" else spmm_pallas_fused
+        cfg = PlanConfig(32, 128) if impl == "pregather" else PlanConfig(
+            128, 128, 8
+        )
+        plan = csr_preprocess(a.indptr, a.indices, n, cfg)
+    x16 = jnp.asarray(feat).astype(jnp.bfloat16)
+    out = np.asarray(fn(plan, x16, out_dtype=jnp.float32))
+    assert out.dtype == np.float32
+    truncated = np.asarray(fn(plan, x16)).astype(np.float32)
+    assert truncated.dtype == np.float32
+    err_direct = float(np.abs(out - oracle).max())
+    err_trunc = float(np.abs(truncated - oracle).max())
+    assert err_direct <= err_trunc + 1e-6, (err_direct, err_trunc)
+    # bf16-input accuracy class (reference tf32 analogue)
+    assert calc_diff(out, oracle) < 1e-2
+
+
+def test_run_variant_returns_original_dtype(rng):
+    # the tuner's dispatch restores the caller dtype for every impl,
+    # including bf16-storage variants
+    from voltrix_spmm_tpu.tuner.tuner import Variant, _run_variant
+
+    n, d = 512, 128
+    a, feat, oracle = make_problem(rng, n, 0.05, d)
+    plan = csr_preprocess(a.indptr, a.indices, n, PlanConfig(32, 128))
+    v = Variant("pregather", block_h=32, feat_dtype="bfloat16")
+    out = np.asarray(_run_variant(v, plan, jnp.asarray(feat)))
+    assert out.dtype == np.float32
+    assert calc_diff(out, oracle) < 1e-2
