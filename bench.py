@@ -71,6 +71,22 @@ def main():
             subtile=True, feat_dtype="bfloat16",
         ),
         Variant("pregather", block_h=1024, block_unroll=4, subtile=True),
+        # unroll=2 halves the group-OR inflation of the subtile skip
+        # bitmap (group-level sub occupancy 41.1% vs u4's 48.7% on this
+        # graph -> MXU floor 1.46 vs 1.76 ms) at 2x grid steps
+        Variant(
+            "pregather", block_h=2048, block_unroll=2,
+            subtile=True, feat_dtype="bfloat16",
+        ),
+        # bf16 STORAGE + bf16 MXU inputs: numerically the same class as
+        # compute_dtype=f32 (default precision rounds MXU inputs to bf16
+        # anyway) but skips the per-step VMEM xg cast. Distinct from the
+        # dead-ended f32-storage+bf16-compute combination, which PAID a
+        # cast instead of skipping one.
+        Variant(
+            "pregather", block_h=2048, block_unroll=4, subtile=True,
+            feat_dtype="bfloat16", compute_dtype="bfloat16",
+        ),
     ]
     tuned = tune_spmm(
         a.indptr, a.indices, n, feat_np, space=space,

@@ -80,8 +80,13 @@ def methods_registry():
 
         cfg = PlanConfig(128, 128, block_unroll=4)
         plan = csr_preprocess_ell(a.indptr, a.indices, a.shape[0], cfg)
-        if a.nnz * feat.shape[1] * 4 > 2 * 2**30:
-            plans = [s.device() for s in slice_ell_windows(plan, 16)]
+        gather_bytes = plan.gather_rows * feat.shape[1] * 4
+        if gather_bytes > 2 * 2**30:
+            # chunk count scaled so one chunk's f32 gather stays ~1 GB
+            # (fixed 16 chunks OOM'd at ogbn-products scale: 133 GB
+            # full gather / 16 = 8 GB chunks)
+            chunks = max(16, -(-gather_bytes // 2**30))
+            plans = [s.device() for s in slice_ell_windows(plan, chunks)]
             return (lambda x, p: spmm_ell_streamed(p, x)), plans
         return (lambda x, p: spmm_ell(p, x)), plan.device()
 

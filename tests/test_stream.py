@@ -170,3 +170,34 @@ def test_spmm_streamed_accepts_generator(problem):
     gen = (s for s in slice_plan_windows(plan, 4))
     out = np.asarray(spmm_streamed(gen, jnp.asarray(feat)))
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_default_space_memory_budget():
+    from voltrix_spmm_tpu.tuner import default_space
+
+    # ogbn-products-class (2.4M nodes / 124M nnz / no tall-window dedup):
+    # bitmask-heavy geometries are gated out BEFORE their multi-GB host
+    # build, chunks scale so one bf16 chunk gather stays <= ~1 GB, and
+    # the O(nnz)-plan ELL kernel joins the race (measured failure mode:
+    # the round-3 fixed-chunk space rejected every candidate on device)
+    sp = default_space(
+        d=256, nnz=124_000_000, coverage128=1.7,
+        gather_rows=110_000_000, num_nodes=2_450_000,
+        gather_rows_2048=105_000_000, device_mem_bytes=12 * 2**30,
+    )
+    assert sp, "products-class space must not be empty"
+    assert all(v.stream_chunks for v in sp)
+    assert all(v.block_h == 128 for v in sp)
+    assert any(v.impl == "ell" for v in sp)
+    for v in sp:
+        rows = 124e6 * (1.05 if v.impl == "ell" else 1.0)
+        assert rows * 256 * 2 / v.stream_chunks <= 2**30 * 1.01
+    # reddit-class (10x dedup at h2048) keeps the measured unstreamed
+    # clustered-subtile winner next to the streamed fallbacks
+    sp = default_space(
+        d=256, nnz=100_000_000, coverage128=0.265,
+        gather_rows=20_000_000, num_nodes=233_000,
+        gather_rows_2048=10_200_000, device_mem_bytes=12 * 2**30,
+    )
+    assert any(v.subtile and not v.stream_chunks for v in sp)
+    assert any(v.impl == "fused" for v in sp)

@@ -18,6 +18,9 @@ PROJECT_NAME_ABBR_LOWER = "voltrix_tpu"
 #   VOLTRIX_TPU_DISABLE_NATIVE     : "1" -> force the pure-numpy preprocessing path
 #   VOLTRIX_TPU_INTERPRET          : "1" -> run Pallas kernels in interpreter mode
 #   VOLTRIX_TPU_TUNE_BUDGET_S      : soft autotune time budget in seconds
+#   VOLTRIX_TPU_DEVICE_MEM_GB      : device HBM budget (GB) the tuner may
+#                                    plan against (default: 80% of the
+#                                    device's reported limit, else 12)
 DEBUG_FLAG = "VOLTRIX_TPU_JIT_DEBUG"
 CXX_COMPILER_FLAG = "VOLTRIX_TPU_CXX"
 CACHE_DIR_FLAG = "VOLTRIX_TPU_CACHE_DIR"
@@ -26,3 +29,4 @@ PRINT_AUTOTUNE_FLAG = "VOLTRIX_TPU_PRINT_AUTO_TUNE"
 DISABLE_NATIVE_FLAG = "VOLTRIX_TPU_DISABLE_NATIVE"
 INTERPRET_FLAG = "VOLTRIX_TPU_INTERPRET"
 TUNE_BUDGET_FLAG = "VOLTRIX_TPU_TUNE_BUDGET_S"
+DEVICE_MEM_FLAG = "VOLTRIX_TPU_DEVICE_MEM_GB"

@@ -130,6 +130,25 @@ def weighted_default_space(
     return space
 
 
+def _device_mem_budget() -> float:
+    """HBM bytes the tuner may plan candidate residency against.
+
+    $VOLTRIX_TPU_DEVICE_MEM_GB overrides; else 80% of the device's
+    reported limit; else 12 GB (one v5e chip minus runtime headroom)."""
+    env = os.environ.get(const.DEVICE_MEM_FLAG, "")
+    if env:
+        return float(env) * 2**30
+    try:
+        import jax
+
+        stats = jax.devices()[0].memory_stats()
+        if stats and stats.get("bytes_limit"):
+            return float(stats["bytes_limit"]) * 0.8
+    except Exception:
+        pass
+    return 12.0 * 2**30
+
+
 def default_space(
     accurate: bool = False,
     d: int | None = None,
@@ -137,6 +156,9 @@ def default_space(
     coverage128: float | None = None,
     coverage32: float | None = None,
     gather_rows: int | None = None,
+    num_nodes: int | None = None,
+    gather_rows_2048: int | None = None,
+    device_mem_bytes: float | None = None,
 ) -> list[Variant]:
     """The standard tuning space (the reference's models 0/1/2 analogue).
 
@@ -174,43 +196,109 @@ def default_space(
     rows_est = gather_rows if gather_rows is not None else nnz
     huge = rows_est is not None and d is not None and rows_est * d * 4 > 4 * 2**30
     if huge:
-        # plan memory also matters at this scale: shorter windows keep
-        # the bitmask linear in nnz; bf16 storage halves chunk gathers
-        space = [
-            Variant("pregather", block_h=128, block_unroll=4,
-                    stream_chunks=16, feat_dtype="bfloat16"),
-            Variant("pregather", block_h=512, block_unroll=4,
-                    stream_chunks=16, feat_dtype="bfloat16"),
-            Variant("pregather", block_h=512, block_unroll=4,
-                    stream_chunks=32, feat_dtype="bfloat16"),
-            Variant("pregather", block_h=512, block_unroll=4,
-                    stream_chunks=16),
-            # tall clustered-subtile at scale (unlocked by the native
-            # clustering pass, round 3): community-clustered 100M-nnz
-            # graphs dedup to ~0.1 gather rows/nnz at h2048 and skip
-            # ~72% of sub-tiles — measured 100.65 ms on reddit-proxy
-            # d256 (diff 2.8e-6) where the fused kernel's masked-dense
-            # floor is 153.9 ms. The unstreamed variant OOMs on
-            # low-dedup graphs; the tuner's validity filter drops it
-            # there.
-            Variant("pregather", block_h=2048, block_unroll=4,
-                    subtile=True, feat_dtype="bfloat16"),
-            Variant("pregather", block_h=2048, block_unroll=4,
-                    subtile=True, stream_chunks=8, feat_dtype="bfloat16"),
+        # Memory-budgeted space: at this scale candidates die on device
+        # residency, not speed, so build only geometries whose plan
+        # (bitmask ~ rows_h*h/8 + hind) AND chunked gather fit the HBM
+        # budget next to the f32 features/output (measured failure mode:
+        # ogbn-products-class 2.4M-node/124M-nnz graphs reject every
+        # fixed-chunk candidate — f32 16-chunk gathers alone are 8 GB).
+        budget = (
+            device_mem_bytes
+            if device_mem_bytes is not None
+            else _device_mem_budget()
+        )
+        n = num_nodes if num_nodes is not None else 0
+        r512 = gather_rows if gather_rows is not None else nnz
+        # h2048 dedup is the subtile geometry's whole case; when the
+        # caller did not measure it, stay optimistic (None) and let the
+        # tuner's validity filter drop the candidate at build time —
+        # nnz as a stand-in would wrongly gate out reddit-class winners
+        # whose 10x dedup is exactly what makes them fit
+        r2048 = gather_rows_2048
+        # static residency: f32 features + f32 output (+ bf16 feature
+        # copy when the variant downcasts storage)
+        static_f32 = 2 * n * d * 4
+
+        def chunk_options(rows, plan_bytes, fdtype):
+            """[None] / [c, 2c] stream_chunks choices that fit, else []."""
+            esz = 2 if fdtype else 4
+            free = (
+                budget - static_f32 - (n * d * 2 if fdtype else 0)
+                - plan_bytes
+            )
+            if free <= 2**28:
+                return []
+            full = rows * d * esz
+            if full <= 0.6 * free:
+                # full gather fits: race unstreamed vs a lightly-chunked
+                # variant (chunking also shrinks XLA temp peaks)
+                return [None, 16]
+            # two chunks alive in the pipeline; cap one chunk at 1 GB
+            target = min(free / 3, 2**30)
+            c = 16
+            while c < 1024 and full / c > target:
+                c *= 2
+            if full / c > target:
+                return []
+            return [c, min(2 * c, 1024)]
+
+        space = []
+        geometries = [
+            # (block_h, rows_h estimate, subtile)
+            (128, nnz, False),  # ~no dedup at short windows
+            (512, r512, False),
+            # tall clustered-subtile (unlocked by the native clustering
+            # pass): community graphs dedup to ~0.1 rows/nnz at h2048
+            # and skip ~72% of sub-tiles — 100.65 ms on reddit-proxy
+            # d256 vs the fused kernel's 153.9 ms masked-dense floor
+            (2048, r2048, True),
         ]
+        for h, rows_h, sub in geometries:
+            # bf16 storage is the huge-regime default (2.2-3.9x faster
+            # gather, half the chunk residency); accurate=True keeps f32
+            fdtype = None if accurate else "bfloat16"
+            if rows_h is None:  # unmeasured dedup: offer optimistically
+                opts = [None, 16]
+            else:
+                plan_bytes = rows_h * h / 8 + rows_h * 4  # bitmask + hind
+                opts = chunk_options(rows_h, plan_bytes, fdtype)
+            for c in opts:
+                space.append(
+                    Variant(
+                        "pregather", block_h=h, block_unroll=4,
+                        subtile=sub, stream_chunks=c,
+                        feat_dtype=fdtype,
+                    )
+                )
+        # edge-per-lane (O(nnz) plan bytes, no bitmask): the scattered
+        # ultra-sparse regime where even the h128 binned plan is heavy
+        ell_rows = int(nnz * 1.05) if nnz else 0
+        for fdtype in ([None] if accurate else ["bfloat16"]):
+            for c in chunk_options(ell_rows, ell_rows * 12, fdtype):
+                space.append(
+                    Variant(
+                        "ell", block_h=128, block_unroll=4,
+                        stream_chunks=c, feat_dtype=fdtype,
+                    )
+                )
         if coverage128 is not None and coverage128 <= FUSED_COVERAGE_THRESHOLD:
             # fused streams X straight through VMEM — no materialized
-            # gather, so it fits where pregather needs chunking
-            space.append(Variant("fused", block_h=2048, gather_segment=128, block_unroll=4))
-            if not accurate:
+            # gather, so it fits where pregather needs chunking (its
+            # coverage plan is seg-run aligned: rows ~ cov128 * nnz)
+            if chunk_options(0, (coverage128 * nnz) * 256, None):
                 space.append(
                     Variant(
                         "fused", block_h=2048, gather_segment=128,
-                        block_unroll=4, compute_dtype="bfloat16",
+                        block_unroll=4,
                     )
                 )
-        if accurate:
-            space = [v for v in space if v.feat_dtype is None]
+                if not accurate:
+                    space.append(
+                        Variant(
+                            "fused", block_h=2048, gather_segment=128,
+                            block_unroll=4, compute_dtype="bfloat16",
+                        )
+                    )
         return space
     space = [
         Variant("pregather", block_h=512, block_unroll=4),
@@ -537,12 +625,21 @@ class SpmmTuner:
             rows512 = int(
                 coverage_expansion(indptr, indices, num_nodes, 512, 1) * nnz
             )
+            d_ = int(feat.shape[1])
+            rows2048 = (
+                int(coverage_expansion(indptr, indices, num_nodes, 2048, 1) * nnz)
+                # h2048 dedup matters only to the huge branch's memory gates
+                if rows512 * d_ * 4 > 4 * 2**30
+                else None
+            )
             return default_space(
-                d=int(feat.shape[1]),
+                d=d_,
                 nnz=nnz,
                 coverage128=cov128,
                 coverage32=cov32,
                 gather_rows=rows512,
+                num_nodes=num_nodes,
+                gather_rows_2048=rows2048,
             )
 
         verbose = env_flag(const.PRINT_AUTOTUNE_FLAG)
