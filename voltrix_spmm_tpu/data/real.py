@@ -90,6 +90,19 @@ PUBLISHED: dict[str, PublishedStats] = {
     "web-BerkStan": PublishedStats(685230, 7600595, "powerlaw", "SNAP web"),
     "ppi": PublishedStats(56944, 818716, "community", "GraphSAGE PPI"),
     "DD": PublishedStats(334925, 1686092, "mesh", "TC-GNN graph-kernel batch"),
+    # remaining names from the reference's 12-dataset list (bench/plot.py:8)
+    "YeastH": PublishedStats(3139988, 6487230, "mesh",
+                             "TC-GNN graph-kernel batch (molecule components)"),
+    "Yeast": PublishedStats(1714644, 3636546, "mesh",
+                            "TC-GNN graph-kernel batch (molecule components)"),
+    "FraudYelp-RSR": PublishedStats(45954, 7693958, "dense",
+                                    "DGL FraudYelpDataset, R-S-R relation"),
+    # the reference's "protein" name is ambiguous offline; proxied with
+    # ogbn-proteins stats (OGB paper: dense protein-association rows),
+    # the same workload family. Drop the real TC-GNN npz in
+    # $VOLTRIX_TPU_DATASETS/protein.npz to bench the genuine graph.
+    "protein": PublishedStats(132534, 39561252, "dense",
+                              "proxied from ogbn-proteins (name ambiguous)"),
 }
 
 
