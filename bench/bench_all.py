@@ -185,13 +185,26 @@ def run(args):
                 except Exception as e:
                     print(f"[{method}] {name} d={d}: FAILED ({e})")
                     rows.append([name, method, d, float("nan")])
-                    continue
-                print(
-                    f"[{method}] {name} d={d}: {t:.3f} ms "
-                    f"(diff {diff * 100:.4f}%)"
-                )
-                rows.append([name, method, d, round(t, 4)])
-                del fn, plan, rest
+                    t = None
+                if t is not None:
+                    print(
+                        f"[{method}] {name} d={d}: {t:.3f} ms "
+                        f"(diff {diff * 100:.4f}%)"
+                    )
+                    rows.append([name, method, d, round(t, 4)])
+                # free THIS method's device residency before the next one:
+                # at ogbn-products scale a pinned 2.5 GB tuned plan plus
+                # executables OOM'd every later method in the same cell
+                import gc
+
+                import jax
+
+                from voltrix_spmm_tpu.tuner.tuner import spmm_tuner
+
+                fn = plan = rest = out = None
+                spmm_tuner._mem.clear()
+                jax.clear_caches()
+                gc.collect()
         # free device-resident plans and executables between datasets —
         # the tuner's memory cache pins plans in HBM and the sweep
         # otherwise exhausts device memory by the last dataset
