@@ -9,6 +9,11 @@ from .generate import (
     save_npz_graph,
     load_npz_graph,
 )
+from .batching import (
+    block_diagonal,
+    node_graph_ids,
+    split_nodes,
+)
 from .real import (
     PUBLISHED,
     chung_lu_csr,
@@ -27,6 +32,9 @@ __all__ = [
     "symmetrize",
     "save_npz_graph",
     "load_npz_graph",
+    "block_diagonal",
+    "node_graph_ids",
+    "split_nodes",
     "PUBLISHED",
     "chung_lu_csr",
     "load_graph",

@@ -32,3 +32,14 @@ def split_nodes(x, node_offsets):
         x[node_offsets[i] : node_offsets[i + 1]]
         for i in range(len(node_offsets) - 1)
     ]
+
+
+def node_graph_ids(node_offsets) -> np.ndarray:
+    """Per-node graph id (int32, shape (total_nodes,)) for a batch built
+    by `block_diagonal` — the segment-id array jittable readouts key on
+    (`models.graph_readout`)."""
+    offsets = np.asarray(node_offsets)
+    sizes = np.diff(offsets).astype(np.int64)
+    return np.repeat(
+        np.arange(len(sizes), dtype=np.int32), sizes
+    )

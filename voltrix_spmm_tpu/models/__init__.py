@@ -16,6 +16,13 @@ from .gat_ell import (
     gat_dot_forward,
     gat_dot_loss,
 )
+from .readout import (
+    graph_readout,
+    init_gin_classifier,
+    gin_classifier_forward,
+    gin_classifier_loss,
+    make_classifier_train_step,
+)
 from .gat import (
     GatGraph,
     build_gat_graph,
@@ -38,6 +45,11 @@ __all__ = [
     "sage_forward",
     "init_gin",
     "gin_forward",
+    "graph_readout",
+    "init_gin_classifier",
+    "gin_classifier_forward",
+    "gin_classifier_loss",
+    "make_classifier_train_step",
     "init_appnp",
     "appnp_forward",
     "appnp_loss",
