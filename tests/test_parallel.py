@@ -461,3 +461,106 @@ def test_distributed_updates_match_dense_oracle(rng):
         new_p, loss = step(params, jnp.asarray(x), jnp.asarray(y))
         want = dense_step(n_pad, x, y, invd)
         assert max_delta(new_p, want) < 1e-5, stepper.__name__
+
+
+def _hybrid_mesh(nhost=2, nchip=4):
+    from jax.sharding import Mesh
+
+    return Mesh(
+        np.asarray(jax.devices()[: nhost * nchip]).reshape(nhost, nchip),
+        ("host", "chip"),
+    )
+
+
+def test_hybrid_sharded_spmm_matches_oracle(rng):
+    from voltrix_spmm_tpu.ops import spmm_scipy
+    from voltrix_spmm_tpu.parallel import (
+        build_ring_sharded_plan,
+        hybrid_sharded_spmm,
+    )
+
+    n, d, nhost, nchip = 700, 48, 2, 4  # unaligned n -> padded shards
+    a = sp.random(n, n, density=0.03, format="csr", random_state=rng)
+    feat = rng.standard_normal((n, d)).astype(np.float32)
+    oracle = spmm_scipy(a.indptr, a.indices, n, feat)
+
+    plan = build_ring_sharded_plan(a.indptr, a.indices, n, nhost * nchip, CFG)
+    mesh = _hybrid_mesh(nhost, nchip)
+    x_pad = np.zeros((plan.num_nodes, d), np.float32)
+    x_pad[:n] = feat
+    out = np.asarray(hybrid_sharded_spmm(plan, jnp.asarray(x_pad), mesh))
+    np.testing.assert_allclose(out[:n], oracle, rtol=1e-5, atol=1e-4)
+    assert np.abs(out[n:]).max() == 0.0
+
+
+def test_hybrid_sharded_grad_matches_dense(rng):
+    from voltrix_spmm_tpu.parallel import (
+        build_ring_sharded_plan,
+        hybrid_sharded_spmm,
+    )
+
+    n, d, nhost, nchip = 256, 16, 2, 4
+    a = sp.random(n, n, density=0.05, format="csr", random_state=rng)
+    plan = build_ring_sharded_plan(
+        a.indptr, a.indices, n, nhost * nchip, CFG, with_transpose=True
+    )
+    mesh = _hybrid_mesh(nhost, nchip)
+    n_pad = plan.num_nodes
+    x = np.zeros((n_pad, d), np.float32)
+    x[:n] = rng.standard_normal((n, d))
+    w = rng.standard_normal((n_pad, d)).astype(np.float32)
+
+    def loss(xj):
+        return jnp.sum(hybrid_sharded_spmm(plan, xj, mesh) * w)
+
+    g = np.asarray(jax.grad(loss)(jnp.asarray(x)))
+    dense = np.zeros((n_pad, n_pad), np.float32)
+    dense[:n, :n] = (a.toarray() != 0)
+    g_ref = dense.T @ w
+    np.testing.assert_allclose(g, g_ref, rtol=1e-4, atol=1e-3)
+
+
+def test_hybrid_train_step_matches_ring(rng):
+    """The hybrid (all_gather over DCN x ring over ICI) trainer computes
+    the identical full-graph GCN step as the single-axis ring trainer —
+    only the collective topology differs."""
+    from voltrix_spmm_tpu.parallel import (
+        build_ring_sharded_plan,
+        make_hybrid_train_step,
+        make_ring_train_step,
+    )
+    from jax.sharding import Mesh
+
+    n, d, hidden, classes = 320, 16, 8, 3
+    ndev = 8
+    a = sp.random(n, n, density=0.04, format="csr", random_state=rng)
+    plan = build_ring_sharded_plan(
+        a.indptr, a.indices, n, ndev, CFG, with_transpose=True
+    )
+    n_pad = plan.num_nodes
+    deg = np.maximum(np.diff(a.indptr).astype(np.float32), 1.0)
+    inv_deg = np.zeros(n_pad, np.float32)
+    inv_deg[:n] = 1.0 / deg
+    x = np.zeros((n_pad, d), np.float32)
+    x[:n] = rng.standard_normal((n, d))
+    y = np.full(n_pad, -100, np.int32)
+    y[:n] = rng.integers(0, classes, size=n)
+
+    params = init_gcn(jax.random.PRNGKey(0), d, hidden, classes)
+    hy_step = make_hybrid_train_step(plan, _hybrid_mesh(2, 4), inv_deg, lr=5e-2)
+    ring_mesh = Mesh(np.asarray(jax.devices()[:ndev]), ("data",))
+    ring_step = make_ring_train_step(plan, ring_mesh, inv_deg, lr=5e-2)
+
+    hp, hl = hy_step(params, jnp.asarray(x), jnp.asarray(y))
+    rp, rl = ring_step(params, jnp.asarray(x), jnp.asarray(y))
+    np.testing.assert_allclose(float(hl), float(rl), rtol=1e-5)
+    for k in params:
+        np.testing.assert_allclose(
+            np.asarray(hp[k]), np.asarray(rp[k]), rtol=1e-4, atol=1e-5
+        )
+
+    # and it trains
+    p, l0 = hy_step(params, jnp.asarray(x), jnp.asarray(y))
+    for _ in range(10):
+        p, l = hy_step(p, jnp.asarray(x), jnp.asarray(y))
+    assert np.isfinite(float(l)) and float(l) < float(l0)

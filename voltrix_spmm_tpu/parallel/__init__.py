@@ -17,12 +17,18 @@ from .ring import (
     ring_sharded_spmm,
     make_ring_train_step,
 )
+from .hybrid import (
+    hybrid_sharded_spmm,
+    make_hybrid_train_step,
+)
 
 __all__ = [
     "RingShardedPlan",
     "build_ring_sharded_plan",
     "ring_sharded_spmm",
     "make_ring_train_step",
+    "hybrid_sharded_spmm",
+    "make_hybrid_train_step",
     "make_mesh",
     "sharded_spmm",
     "sharded_gcn_forward",
