@@ -1,0 +1,194 @@
+"""Neighbor-sampled mini-batch training (GraphSAGE protocol):
+block sampling, rectangular padded plans, static-shape jit reuse."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+import scipy.sparse as sp
+
+from voltrix_spmm_tpu.data.sampling import (
+    block_caps,
+    gather_features,
+    sample_block,
+    sample_blocks,
+)
+from voltrix_spmm_tpu.format import PlanConfig
+from voltrix_spmm_tpu.models import (
+    blocks_args,
+    init_sage_minibatch,
+    make_sage_minibatch_step,
+    sage_minibatch_forward,
+)
+from voltrix_spmm_tpu.ops import spmm_pallas
+
+CFG = PlanConfig(32, 128)
+
+
+def _community_graph(rng, n=400, comm=4, deg=12):
+    size = n // comm
+    src = np.repeat(np.arange(n), deg)
+    intra = (src // size) * size + rng.integers(0, size, size=src.shape[0])
+    rand = rng.integers(0, n, size=src.shape[0])
+    dst = np.where(rng.random(src.shape[0]) < 0.9, intra, rand)
+    a = sp.csr_matrix(
+        (np.ones(src.shape[0], np.float32), (src, dst)), shape=(n, n)
+    )
+    a = ((a + a.T) != 0).astype(np.float32).tocsr()
+    labels = (np.arange(n) // size).astype(np.int32)
+    return a, labels
+
+
+def test_sample_block_matches_dense_oracle(rng):
+    a, _ = _community_graph(rng, n=300)
+    seeds = rng.choice(300, size=40, replace=False)
+    blk = sample_block(a.indptr, a.indices, seeds, fanout=5, rng=rng, config=CFG)
+
+    assert blk.num_src == 40 * 6
+    # dst ids lead the source list
+    np.testing.assert_array_equal(blk.src_ids[:40], seeds)
+
+    # the plan's SpMM must equal the dense sampled adjacency product
+    x = rng.standard_normal((blk.num_src, 16)).astype(np.float32)
+    out = np.asarray(spmm_pallas(blk.plan, jnp.asarray(x)))
+
+    dense = np.zeros((blk.num_dst, blk.num_src), np.float32)
+    bm = np.asarray(blk.plan.bitmask)
+    # reconstruct from sampled edges instead: every sampled neighbor of
+    # seed i is some src slot j with an edge (i, j)
+    # -> verify via degree + membership checks against the original CSR
+    row_sums = out @ np.ones((16,), np.float32)  # touch shape only
+    assert row_sums.shape == (blk.num_dst,)
+
+    # sampled degrees: <= fanout, and inv_deg matches
+    for i, s in enumerate(seeds):
+        deg = a.indptr[s + 1] - a.indptr[s]
+        k = min(5, deg)
+        if k > 0:
+            assert blk.inv_deg[i, 0] == pytest.approx(1.0 / k)
+
+    # exact value check: rebuild the dense sampled matrix from plan_t's
+    # transpose relation  (A x)_i == (x^T A^T)_i
+    g = rng.standard_normal((blk.num_dst, 16)).astype(np.float32)
+    out_t = np.asarray(spmm_pallas(blk.plan_t, jnp.asarray(g)))
+    # <A x, g> == <x, A^T g> — adjoint identity ties the two plans
+    lhs = float(np.sum(out * g))
+    rhs = float(np.sum(x * out_t))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-4)
+
+
+def test_sampled_aggregation_value_parity(rng):
+    """Build the dense sampled adjacency explicitly by re-sampling with
+    a fixed rng state and compare values exactly."""
+    a, _ = _community_graph(rng, n=200)
+    seeds = np.arange(30)
+    rng2 = np.random.default_rng(123)
+    blk = sample_block(a.indptr, a.indices, seeds, fanout=4, rng=rng2, config=CFG)
+
+    # dense reconstruction: walk the plan's own bitmask/hind is internal;
+    # instead, recover A_sample from SpMM against identity
+    eye = np.eye(blk.num_src, dtype=np.float32)
+    dense = np.asarray(
+        spmm_pallas(blk.plan, jnp.asarray(eye), precision="highest")
+    )
+    # every row: number of ones == sampled degree; all entries 0/1;
+    # sampled edges are real edges of the original graph
+    assert set(np.unique(dense)) <= {0.0, 1.0}
+    for i, s in enumerate(seeds):
+        cols = np.nonzero(dense[i])[0]
+        deg = a.indptr[s + 1] - a.indptr[s]
+        assert len(cols) == min(4, deg)
+        real = set(a.indices[a.indptr[s] : a.indptr[s + 1]].tolist())
+        for j in cols:
+            assert int(blk.src_ids[j]) in real
+
+
+def test_block_caps_hold(rng):
+    a, _ = _community_graph(rng, n=500)
+    for fanout in (3, 8):
+        seeds = rng.choice(500, size=64, replace=False)
+        blk = sample_block(a.indptr, a.indices, seeds, fanout, rng, CFG)
+        cap_f, cap_t = block_caps(blk.num_dst, blk.num_src, fanout, CFG)
+        assert blk.plan.total_blocks == cap_f
+        assert blk.plan_t.total_blocks == cap_t
+
+
+def test_gather_features_padding():
+    x = np.arange(12, dtype=np.float32).reshape(6, 2)
+    ids = np.asarray([3, -1, 0], np.int32)
+    out = gather_features(x, ids)
+    np.testing.assert_array_equal(out[0], x[3])
+    np.testing.assert_array_equal(out[1], 0.0)
+    np.testing.assert_array_equal(out[2], x[0])
+
+
+def test_minibatch_forward_matches_manual(rng):
+    a, _ = _community_graph(rng, n=300)
+    seeds = rng.choice(300, size=32, replace=False)
+    blocks = sample_blocks(
+        a.indptr, a.indices, seeds, fanouts=[4, 4], rng=rng, config=CFG
+    )
+    assert blocks[-1].num_dst == 32
+    assert blocks[0].num_dst == blocks[1].num_src
+
+    d, hidden, classes = 8, 16, 3
+    x = rng.standard_normal((300, d)).astype(np.float32)
+    params = init_sage_minibatch(jax.random.PRNGKey(0), [d, hidden, classes])
+    x_src = gather_features(x, blocks[0].src_ids)
+    logits = np.asarray(
+        sage_minibatch_forward(params, blocks, jnp.asarray(x_src))
+    )
+    assert logits.shape == (32, classes)
+
+    # manual dense recomputation through each hop
+    h = x_src
+    for l, blk in enumerate(blocks):
+        eye = np.eye(blk.num_src, dtype=np.float32)
+        dense = np.asarray(
+            spmm_pallas(blk.plan, jnp.asarray(eye), precision="highest")
+        )
+        agg = blk.inv_deg * (dense @ h)
+        z = (
+            h[: blk.num_dst] @ np.asarray(params[l]["w_self"])
+            + agg @ np.asarray(params[l]["w_neigh"])
+            + np.asarray(params[l]["b"])
+        )
+        h = np.maximum(z, 0.0) if l + 1 < len(blocks) else z
+    np.testing.assert_allclose(logits, h, rtol=2e-4, atol=2e-4)
+
+
+def test_minibatch_trains_one_trace(rng):
+    """Loss decreases over resampled batches AND the step retraces only
+    once — the padded static-shape contract."""
+    a, labels = _community_graph(rng, n=400)
+    d, hidden = 8, 16
+    classes = int(labels.max()) + 1
+    # features correlated with community so the task is learnable
+    x = (
+        np.eye(classes, dtype=np.float32)[labels]
+        + 0.3 * rng.standard_normal((400, classes)).astype(np.float32)
+    )
+    x = np.concatenate([x, np.zeros((400, d - classes), np.float32)], axis=1)
+
+    params = init_sage_minibatch(jax.random.PRNGKey(1), [d, hidden, classes])
+    opt = optax.adam(1e-2)
+    state = opt.init(params)
+    step = make_sage_minibatch_step(opt)
+
+    losses = []
+    for it in range(8):
+        seeds = rng.choice(400, size=64, replace=False)
+        blocks = sample_blocks(
+            a.indptr, a.indices, seeds, fanouts=[4, 4], rng=rng, config=CFG
+        )
+        plans, inv_degs = blocks_args(blocks)
+        x_src = jnp.asarray(gather_features(x, blocks[0].src_ids))
+        y = jnp.asarray(labels[seeds])
+        params, state, loss = step(params, state, plans, inv_degs, x_src, y)
+        losses.append(float(loss))
+    assert np.isfinite(losses[-1])
+    assert np.mean(losses[-3:]) < np.mean(losses[:3])
+    assert step._cache_size() == 1, (
+        f"static-shape contract broken: {step._cache_size()} traces"
+    )

@@ -14,6 +14,13 @@ from .batching import (
     node_graph_ids,
     split_nodes,
 )
+from .sampling import (
+    SampleBlock,
+    sample_block,
+    sample_blocks,
+    gather_features,
+    block_caps,
+)
 from .real import (
     PUBLISHED,
     chung_lu_csr,
@@ -32,6 +39,11 @@ __all__ = [
     "symmetrize",
     "save_npz_graph",
     "load_npz_graph",
+    "SampleBlock",
+    "sample_block",
+    "sample_blocks",
+    "gather_features",
+    "block_caps",
     "block_diagonal",
     "node_graph_ids",
     "split_nodes",

@@ -1,6 +1,13 @@
 from .graph import GraphData, build_graph, aggregate
 from .gcn import init_gcn, gcn_forward, gcn_loss, make_train_step
 from .sage import init_sage, sage_forward
+from .sage_minibatch import (
+    init_sage_minibatch,
+    sage_minibatch_forward,
+    sage_minibatch_loss,
+    make_sage_minibatch_step,
+    blocks_args,
+)
 from .gin import init_gin, gin_forward
 from .appnp import init_appnp, appnp_forward, appnp_loss
 from .dropedge import (
@@ -43,6 +50,11 @@ __all__ = [
     "make_train_step",
     "init_sage",
     "sage_forward",
+    "init_sage_minibatch",
+    "sage_minibatch_forward",
+    "sage_minibatch_loss",
+    "make_sage_minibatch_step",
+    "blocks_args",
     "init_gin",
     "gin_forward",
     "graph_readout",
