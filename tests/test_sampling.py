@@ -49,17 +49,9 @@ def test_sample_block_matches_dense_oracle(rng):
     # dst ids lead the source list
     np.testing.assert_array_equal(blk.src_ids[:40], seeds)
 
-    # the plan's SpMM must equal the dense sampled adjacency product
     x = rng.standard_normal((blk.num_src, 16)).astype(np.float32)
     out = np.asarray(spmm_pallas(blk.plan, jnp.asarray(x)))
-
-    dense = np.zeros((blk.num_dst, blk.num_src), np.float32)
-    bm = np.asarray(blk.plan.bitmask)
-    # reconstruct from sampled edges instead: every sampled neighbor of
-    # seed i is some src slot j with an edge (i, j)
-    # -> verify via degree + membership checks against the original CSR
-    row_sums = out @ np.ones((16,), np.float32)  # touch shape only
-    assert row_sums.shape == (blk.num_dst,)
+    assert out.shape == (blk.num_dst, 16)
 
     # sampled degrees: <= fanout, and inv_deg matches
     for i, s in enumerate(seeds):
@@ -192,3 +184,39 @@ def test_minibatch_trains_one_trace(rng):
     assert step._cache_size() == 1, (
         f"static-shape contract broken: {step._cache_size()} traces"
     )
+
+
+def test_sage_inference_full_graph(rng):
+    """Mini-batch-trained params serve full-graph layer-wise inference
+    (sampled-mean estimator -> exact mean at deploy time)."""
+    from voltrix_spmm_tpu.models import build_graph, sage_inference
+
+    a, labels = _community_graph(rng, n=400)
+    d, hidden = 8, 16
+    classes = int(labels.max()) + 1
+    x = (
+        np.eye(classes, dtype=np.float32)[labels]
+        + 0.3 * rng.standard_normal((400, classes)).astype(np.float32)
+    )
+    x = np.concatenate([x, np.zeros((400, d - classes), np.float32)], axis=1)
+
+    params = init_sage_minibatch(jax.random.PRNGKey(2), [d, hidden, classes])
+    opt = optax.adam(2e-2)
+    state = opt.init(params)
+    step = make_sage_minibatch_step(opt)
+    for it in range(25):
+        seeds = rng.choice(400, size=96, replace=False)
+        blocks = sample_blocks(
+            a.indptr, a.indices, seeds, fanouts=[4, 4], rng=rng, config=CFG
+        )
+        plans, inv_degs = blocks_args(blocks)
+        x_src = jnp.asarray(gather_features(x, blocks[0].src_ids))
+        params, state, loss = step(
+            params, state, plans, inv_degs, x_src, jnp.asarray(labels[seeds])
+        )
+
+    g = build_graph(a.indptr, a.indices, 400, CFG, symmetric=True)
+    logits = np.asarray(sage_inference(params, g, jnp.asarray(x)))
+    assert logits.shape == (400, classes)
+    acc = float((logits.argmax(1) == labels).mean())
+    assert acc > 0.8, f"full-graph inference accuracy {acc}"

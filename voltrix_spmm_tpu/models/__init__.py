@@ -7,6 +7,7 @@ from .sage_minibatch import (
     sage_minibatch_loss,
     make_sage_minibatch_step,
     blocks_args,
+    sage_inference,
 )
 from .gin import init_gin, gin_forward
 from .appnp import init_appnp, appnp_forward, appnp_loss
@@ -55,6 +56,7 @@ __all__ = [
     "sage_minibatch_loss",
     "make_sage_minibatch_step",
     "blocks_args",
+    "sage_inference",
     "init_gin",
     "gin_forward",
     "graph_readout",

@@ -106,3 +106,19 @@ def blocks_args(blocks):
     plans = [(b.plan, b.plan_t) for b in blocks]
     inv_degs = [jnp.asarray(b.inv_deg) for b in blocks]
     return plans, inv_degs
+
+
+def sage_inference(params, g, x: jax.Array) -> jax.Array:
+    """Layer-wise FULL-GRAPH inference with mini-batch-trained params —
+    the standard GraphSAGE deployment pattern: train on sampled blocks,
+    serve with exact full-neighborhood aggregation (one big SpMM per
+    layer, where the kernels are fastest). g: `models.build_graph`
+    output; returns logits for every node."""
+    from .graph import aggregate
+
+    h = x
+    for l, p in enumerate(params):
+        agg = aggregate(g, h, mode="mean")
+        z = h @ p["w_self"] + agg @ p["w_neigh"] + p["b"]
+        h = jax.nn.relu(z) if l + 1 < len(params) else z
+    return h
