@@ -10,6 +10,12 @@ from .sage_minibatch import (
     sage_inference,
 )
 from .gin import init_gin, gin_forward
+from .rgcn import (
+    init_rgcn,
+    rgcn_forward,
+    rgcn_loss,
+    make_rgcn_train_step,
+)
 from .appnp import init_appnp, appnp_forward, appnp_loss
 from .dropedge import (
     DropEdgeGraph,
@@ -64,6 +70,10 @@ __all__ = [
     "gin_classifier_forward",
     "gin_classifier_loss",
     "make_classifier_train_step",
+    "init_rgcn",
+    "rgcn_forward",
+    "rgcn_loss",
+    "make_rgcn_train_step",
     "init_appnp",
     "appnp_forward",
     "appnp_loss",
