@@ -10,6 +10,15 @@ from .sage_minibatch import (
     sage_inference,
 )
 from .gin import init_gin, gin_forward
+from .linkpred import (
+    build_link_candidates,
+    sample_negative_edges,
+    link_scores,
+    init_link_predictor,
+    link_pred_loss,
+    make_link_pred_step,
+    link_auc,
+)
 from .rgcn import (
     init_rgcn,
     rgcn_forward,
@@ -70,6 +79,13 @@ __all__ = [
     "gin_classifier_forward",
     "gin_classifier_loss",
     "make_classifier_train_step",
+    "build_link_candidates",
+    "sample_negative_edges",
+    "link_scores",
+    "init_link_predictor",
+    "link_pred_loss",
+    "make_link_pred_step",
+    "link_auc",
     "init_rgcn",
     "rgcn_forward",
     "rgcn_loss",
