@@ -279,3 +279,22 @@ def test_run_variant_returns_original_dtype(rng):
     out = np.asarray(_run_variant(v, plan, jnp.asarray(feat)))
     assert out.dtype == np.float32
     assert calc_diff(out, oracle) < 1e-2
+
+
+def test_spmm_batched_features(rng):
+    """(B, N, D) features fold into the feature axis: one launch, same
+    result as per-batch calls (SpMM is linear over columns)."""
+    import scipy.sparse as sp
+
+    from voltrix_spmm_tpu.format import PlanConfig, csr_preprocess
+    from voltrix_spmm_tpu.ops import spmm
+
+    n, d, b = 500, 16, 3
+    a = sp.random(n, n, density=0.03, format="csr", random_state=rng)
+    plan = csr_preprocess(a.indptr, a.indices, n, PlanConfig(32, 128))
+    x = rng.standard_normal((b, n, d)).astype(np.float32)
+    out = np.asarray(spmm(plan, jnp.asarray(x)))
+    assert out.shape == (b, n, d)
+    for i in range(b):
+        want = np.asarray(spmm(plan, jnp.asarray(x[i])))
+        np.testing.assert_allclose(out[i], want, rtol=1e-5, atol=1e-5)

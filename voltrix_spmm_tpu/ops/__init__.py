@@ -62,9 +62,22 @@ def spmm(plan, feat, *, impl: str = "auto", **kwargs):
     "hybrid" (dense runs fused + scattered tail pregathered), "int8"
     (quantized stream), "weighted" (per-edge value plane), "reference"
     (plain-JAX oracle).
+
+    feat may be (N, D) or graph-batched (B, N, D): SpMM is linear over
+    feature columns, so the batch folds into the feature axis and ONE
+    kernel launch serves the whole batch (MXU-friendlier than vmap —
+    same folding as models.aggregate).
     """
+    import jax.numpy as jnp
+
     from ..format.ell import EllPlan
     from ..format.hybrid import HybridPlan
+
+    if getattr(feat, "ndim", 2) == 3:
+        b, n, d = feat.shape
+        flat = jnp.transpose(feat, (1, 0, 2)).reshape(n, b * d)
+        out = spmm(plan, flat, impl=impl, **kwargs)
+        return jnp.transpose(out.reshape(-1, b, d), (1, 0, 2))
 
     if isinstance(plan, HybridPlan):
         return spmm_pallas_hybrid(plan, feat, **kwargs)
