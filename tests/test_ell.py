@@ -303,3 +303,33 @@ def test_ell_jit_pytree(rng):
     out = np.asarray(f(plan, feat))
     np.testing.assert_allclose(out, a @ np.asarray(feat),
                                rtol=1e-4, atol=1e-3)
+
+
+def test_ell_plan_save_load_roundtrip(rng, tmp_path):
+    import jax.numpy as jnp
+
+    from voltrix_spmm_tpu.ops.ell import spmm_ell
+
+    a = sp.random(300, 300, density=0.05, format="csr", random_state=rng)
+    vals = rng.standard_normal(a.nnz).astype(np.float32)
+    plan = csr_preprocess_ell(
+        a.indptr, a.indices, 300, PlanConfig(32, 128), values=vals
+    )
+    from voltrix_spmm_tpu.format.ell import EllPlan
+
+    path = plan.save(str(tmp_path / "ell_plan"))
+    back = EllPlan.load(path)
+
+    assert back.num_edges == plan.num_edges
+    assert back.config == plan.config
+    for f in ("hind", "erow", "vals", "window_of_block", "block_ptr",
+              "edge_lane", "lane_edge"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(back, f)), np.asarray(getattr(plan, f))
+        )
+    x = rng.standard_normal((300, 8)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(spmm_ell(back, jnp.asarray(x))),
+        np.asarray(spmm_ell(plan, jnp.asarray(x))),
+        rtol=0, atol=0,
+    )

@@ -121,6 +121,61 @@ class EllPlan:
             lane_edge=put(self.lane_edge),
         )
 
+    def save(self, path: str) -> str:
+        """Serialize to one .npz (same preprocess-once/serve-many
+        contract as `SpmmPlan.save`; atomic pid-unique replace)."""
+        import json
+        import os
+
+        header = json.dumps(
+            {
+                "config": dataclasses.asdict(self.config),
+                "num_nodes": self.num_nodes,
+                "num_edges": self.num_edges,
+                "num_windows": self.num_windows,
+                "total_blocks": self.total_blocks,
+                "has_empty_windows": self.has_empty_windows,
+                "num_cols": self.num_cols,
+            }
+        )
+        arrays = {
+            "hind": np.asarray(self.hind),
+            "erow": np.asarray(self.erow),
+            "vals": np.asarray(self.vals),
+            "window_of_block": np.asarray(self.window_of_block),
+            "block_ptr": np.asarray(self.block_ptr),
+            "header": np.frombuffer(header.encode(), np.uint8),
+        }
+        if self.edge_lane is not None:
+            arrays["edge_lane"] = np.asarray(self.edge_lane)
+        if self.lane_edge is not None:
+            arrays["lane_edge"] = np.asarray(self.lane_edge)
+        if not path.endswith(".npz"):
+            path += ".npz"
+        tmp = f"{path}.tmp.{os.getpid()}.npz"
+        np.savez(tmp.removesuffix(".npz"), **arrays)
+        os.replace(tmp, path)
+        return path
+
+    @classmethod
+    def load(cls, path: str) -> "EllPlan":
+        import json
+
+        with np.load(path) as z:
+            meta = json.loads(bytes(z["header"]).decode())
+            cfg = PlanConfig(**meta.pop("config"))
+            return cls(
+                hind=z["hind"],
+                erow=z["erow"],
+                vals=z["vals"],
+                window_of_block=z["window_of_block"],
+                block_ptr=z["block_ptr"],
+                edge_lane=z["edge_lane"] if "edge_lane" in z else None,
+                lane_edge=z["lane_edge"] if "lane_edge" in z else None,
+                config=cfg,
+                **meta,
+            )
+
 
 def csr_preprocess_ell(
     indptr,
