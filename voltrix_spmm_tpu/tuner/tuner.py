@@ -247,6 +247,11 @@ def default_space(
             # (block_h, rows_h estimate, subtile)
             (128, nnz, False),  # ~no dedup at short windows
             (512, r512, False),
+            # h512 clustered-subtile: products-class graphs dedup to
+            # ~0.35 rows/nnz at h512 with sub-window occupancy ~0.38 —
+            # 35% less gather than h128 AND 62% of sub-products skipped,
+            # at 1/3 the bitmask bytes of h2048
+            (512, r512, True),
             # tall clustered-subtile (unlocked by the native clustering
             # pass): community graphs dedup to ~0.1 rows/nnz at h2048
             # and skip ~72% of sub-tiles — 100.65 ms on reddit-proxy
