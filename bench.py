@@ -87,6 +87,18 @@ def main():
             "pregather", block_h=2048, block_unroll=4, subtile=True,
             feat_dtype="bfloat16", compute_dtype="bfloat16",
         ),
+        # packed gather: one (q*d)-wide super-row per q-aligned lane
+        # run — the v5e gather is per-ROW-cost-bound at 512 B rows, so
+        # q=2 halves-ish the row count at pack ratio 1.34 on this graph
+        # (measured 11.9 -> 9.2 ms same-session vs the q=1 twin)
+        Variant(
+            "pregather", block_h=2048, block_unroll=4, subtile=True,
+            feat_dtype="bfloat16", gather_segment=2,
+        ),
+        Variant(
+            "pregather", block_h=2048, block_unroll=4, subtile=True,
+            feat_dtype="bfloat16", gather_segment=4,
+        ),
     ]
     tuned = tune_spmm(
         a.indptr, a.indices, n, feat_np, space=space,

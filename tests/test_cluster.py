@@ -87,8 +87,10 @@ def test_spmm_on_clustered_plan(rng, subtile):
 
 
 def test_cluster_config_validation():
-    with pytest.raises(AssertionError):
-        PlanConfig(256, 128, gather_segment=8, cluster_cols=True)
+    # seg > 1 + clustering is allowed (runs are clustered as units —
+    # the packed-gather contract, see format/cluster.py); the one hard
+    # constraint is the 128-row sub-window unit
+    PlanConfig(256, 128, gather_segment=8, cluster_cols=True)
     with pytest.raises(AssertionError):
         PlanConfig(64, 128, cluster_cols=True)
 

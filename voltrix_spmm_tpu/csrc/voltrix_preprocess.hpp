@@ -96,22 +96,26 @@ inline int fill_plan(const int* indptr, const int* indices,
 
 // Two-level column clustering (the native twin of format/cluster.py
 // cluster_window_columns + block_occupancy): within each window, sort
-// lanes by (empty-last, sub-window signature, column id) and permute
-// (hind, bitmask) lane columns in place; emit the per-block occupancy
-// bitmap the subtile kernel prefetches. Window-local buffers keep the
-// whole pass cache-resident and OpenMP-parallel over windows — the
-// vectorized numpy path shuffles the full multi-GB bitmask through
-// three strided copies (measured 118 s at rmat-19 h2048; this pass
-// replaces it).
+// lane RUNS of `seg` lanes (seg == 1 -> single lanes) by (empty-last,
+// sub-window signature, head column id) and permute (hind, bitmask)
+// lane columns in place; emit the per-block occupancy bitmap the
+// subtile kernel prefetches. Runs move as units so seg-aligned plans
+// keep the packed-gather contract (ops/pallas_spmm._gather_rows).
+// Window-local buffers keep the whole pass cache-resident and
+// OpenMP-parallel over windows — the vectorized numpy path shuffles
+// the full multi-GB bitmask through three strided copies (measured
+// 118 s at rmat-19 h2048; this pass replaces it).
 inline int cluster_windows(long long num_windows, long long words,
-                           long long K, const long long* block_ptr,
+                           long long K, long long seg,
+                           const long long* block_ptr,
                            int* hind, unsigned int* bitmask, int* occ) {
   const long long wps = 4;  // words per 128-row sub-window (128/32)
-  const long long nsub = words / wps;
+  if (seg < 1 || K % seg != 0) return 1;
 #pragma omp parallel
   {
-    std::vector<long long> lanes;
-    std::vector<unsigned long long> sig;
+    std::vector<long long> runs;
+    std::vector<unsigned long long> sig;   // per lane
+    std::vector<unsigned long long> rsig;  // per run (OR of members)
     std::vector<int> hbuf;
     std::vector<unsigned int> bbuf;
 #pragma omp for schedule(dynamic, 1)
@@ -119,6 +123,7 @@ inline int cluster_windows(long long num_windows, long long words,
       const long long b0 = block_ptr[w], b1 = block_ptr[w + 1];
       const long long L = (b1 - b0) * K;
       if (L == 0) continue;
+      const long long G = L / seg;
       sig.assign(L, 0ull);
       for (long long b = b0; b < b1; ++b)
         for (long long wd = 0; wd < words; ++wd) {
@@ -128,30 +133,35 @@ inline int cluster_windows(long long num_windows, long long words,
           for (long long j = 0; j < K; ++j)
             if (row[j]) sg[j] |= sb;
         }
+      rsig.assign(G, 0ull);
+      for (long long g = 0; g < G; ++g)
+        for (long long t = 0; t < seg; ++t) rsig[g] |= sig[g * seg + t];
       const int* hwin = hind + b0 * K;  // lane i <-> hwin[i] (contiguous)
-      lanes.resize(L);
-      for (long long i = 0; i < L; ++i) lanes[i] = i;
-      std::sort(lanes.begin(), lanes.end(),
+      runs.resize(G);
+      for (long long g = 0; g < G; ++g) runs[g] = g;
+      std::sort(runs.begin(), runs.end(),
                 [&](long long x, long long y) {
-                  const bool ex = sig[x] == 0, ey = sig[y] == 0;
-                  if (ex != ey) return ey;  // padding lanes last
-                  if (sig[x] != sig[y]) return sig[x] < sig[y];
-                  return hwin[x] < hwin[y];  // gather locality
+                  const bool ex = rsig[x] == 0, ey = rsig[y] == 0;
+                  if (ex != ey) return ey;  // padding runs last
+                  if (rsig[x] != rsig[y]) return rsig[x] < rsig[y];
+                  return hwin[x * seg] < hwin[y * seg];  // gather locality
                 });
       hbuf.assign(hwin, hwin + L);
-      for (long long i = 0; i < L; ++i) hind[b0 * K + i] = hbuf[lanes[i]];
       bbuf.assign(bitmask + b0 * words * K, bitmask + b1 * words * K);
-      for (long long i = 0; i < L; ++i) {
-        const long long src = lanes[i];
-        const long long sb = src / K, sj = src % K;
-        const long long db = i / K, dj = i % K;
-        for (long long wd = 0; wd < words; ++wd)
-          bitmask[((b0 + db) * words + wd) * K + dj] =
-              bbuf[(sb * words + wd) * K + sj];
-        occ[b0 + db] |= static_cast<int>(
-            static_cast<unsigned int>(sig[src] & 0xffffffffull));
+      for (long long g = 0; g < G; ++g) {
+        for (long long t = 0; t < seg; ++t) {
+          const long long src = runs[g] * seg + t;
+          const long long dst = g * seg + t;
+          hind[b0 * K + dst] = hbuf[src];
+          const long long sb = src / K, sj = src % K;
+          const long long db = dst / K, dj = dst % K;
+          for (long long wd = 0; wd < words; ++wd)
+            bitmask[((b0 + db) * words + wd) * K + dj] =
+                bbuf[(sb * words + wd) * K + sj];
+          occ[b0 + db] |= static_cast<int>(
+              static_cast<unsigned int>(sig[src] & 0xffffffffull));
+        }
       }
-      (void)nsub;
     }
   }
   return 0;

@@ -58,9 +58,14 @@ def cluster_window_columns(plan: SpmmPlan) -> SpmmPlan:
     """Return a plan with each window's lanes re-sorted by sub-window
     signature (empty lanes last, ties broken by column id for gather
     locality). Output of `spmm` is IDENTICAL; only which block a lane
-    sits in changes."""
+    sits in changes.
+
+    gather_segment == q > 1: lanes are sorted in RUN units of q (run
+    signature = OR of member lanes, key column = the run head) so the
+    q-aligned runs the packed gather depends on survive the permutation
+    intact."""
     cfg = plan.config
-    assert cfg.gather_segment == 1, "clustering requires an exact plan"
+    q = cfg.gather_segment
     assert cfg.block_h % SUBWIN_ROWS == 0, cfg.block_h
     if plan.total_blocks == 0:
         return plan
@@ -69,18 +74,28 @@ def cluster_window_columns(plan: SpmmPlan) -> SpmmPlan:
     hind = np.asarray(plan.hind)
     tb, words, k = bm.shape
 
-    sig = lane_signatures(bm).reshape(-1)  # (TB*K,) lane-major per block
-    col = hind.reshape(-1)
-    # blocks of a window are contiguous in flat block order, so lanes of a
-    # window are contiguous in (block, lane) flat order
-    lane_win = np.repeat(np.asarray(plan.window_of_block), k).astype(np.int64)
-    empty = sig == 0  # padding lanes -> window tail -> skippable blocks
-    order = np.lexsort((col, sig, empty, lane_win))
+    sig_lane = lane_signatures(bm).reshape(-1)  # (TB*K,) lane-major
+    nruns = tb * k // q
+    sig = np.bitwise_or.reduce(sig_lane.reshape(nruns, q), axis=1)
+    col = hind.reshape(nruns, q)[:, 0].astype(np.int64)
+    # blocks of a window are contiguous in flat block order, so runs of a
+    # window are contiguous in (block, lane) flat order (K % q == 0 —
+    # runs never straddle blocks)
+    run_win = np.repeat(
+        np.asarray(plan.window_of_block), k // q
+    ).astype(np.int64)
+    empty = sig == 0  # padding runs -> window tail -> skippable blocks
+    order = np.lexsort((col, sig, empty, run_win))
+    lane_order = (
+        order[:, None] * q + np.arange(q, dtype=order.dtype)[None, :]
+    ).reshape(-1)
 
-    new_hind = np.ascontiguousarray(col[order].reshape(tb, k))
+    new_hind = np.ascontiguousarray(
+        hind.reshape(-1)[lane_order].reshape(tb, k)
+    )
     lanes = bm.transpose(0, 2, 1).reshape(tb * k, words)
     new_bm = np.ascontiguousarray(
-        lanes[order].reshape(tb, k, words).transpose(0, 2, 1)
+        lanes[lane_order].reshape(tb, k, words).transpose(0, 2, 1)
     )
     return dataclasses.replace(plan, bitmask=new_bm, hind=new_hind)
 

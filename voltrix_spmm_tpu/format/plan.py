@@ -79,7 +79,9 @@ class PlanConfig:
         assert self.block_w % self.gather_segment == 0
         assert self.block_unroll >= 1
         if self.cluster_cols:
-            assert self.gather_segment == 1, "clustering needs exact lanes"
+            # seg > 1 clusters lane RUNS as units (run alignment — the
+            # packed-gather contract of ops/pallas_spmm._gather_rows —
+            # is preserved because members never split across a sort)
             assert self.block_h % 128 == 0, "clustering unit is 128 rows"
 
     @property

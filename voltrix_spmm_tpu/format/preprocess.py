@@ -295,11 +295,58 @@ def coverage_expansion(
     return float(np.unique(keys).shape[0] * seg) / nnz
 
 
+def pack_ratios(
+    indptr, indices, num_nodes: int, block_h: int, qs=(2, 4)
+) -> tuple[int, dict[int, float]]:
+    """Lane-count inflation of packed (gather_segment=q) plans.
+
+    Returns (unique_lanes, {q: ratio}) where unique_lanes is the exact
+    (window, col) dedup count (= gather rows of a seg=1 plan before
+    block padding) and ratio = q * groups_q / unique_lanes >= 1 — the
+    factor by which covered lane slots (and hence blocks / bitmask
+    bytes / MXU passes) grow when lanes are covered by q-aligned runs.
+    The packed gather fetches ONE (q*d)-wide super-row per run, so its
+    row count is unique_lanes * ratio / q: the gather gets q/ratio
+    cheaper in rows while the kernel pays ratio more slots. One sort
+    over nnz; the per-q counts are diffs over the already-unique keys."""
+    indptr = np.asarray(indptr, dtype=np.int64)
+    indices = np.asarray(indices, dtype=np.int64)
+    nnz = int(indices.shape[0])
+    if nnz == 0:
+        return 0, {q: 1.0 for q in qs}
+    span = num_nodes
+    rows = np.repeat(np.arange(num_nodes, dtype=np.int64), np.diff(indptr))
+    uniq = np.unique((rows // block_h) * span + indices)
+    u = int(uniq.shape[0])
+    win = uniq // span
+    col = uniq % span
+    out = {}
+    for q in qs:
+        gkey = win * (span // q + 1) + col // q
+        # uniq is sorted by (win, col), so gkey is nondecreasing
+        groups = int(np.count_nonzero(np.diff(gkey))) + 1
+        out[q] = q * groups / u
+    return u, out
+
+
 # the fused bulk-DMA kernel is eligible when an h2048/seg128 coverage
 # plan wastes at most this many gather rows per nnz (measured regime
 # boundary; one constant shared by the tuner, the bench harness, and
 # the model-layer auto config so the gate can't drift between them)
 FUSED_COVERAGE_THRESHOLD = 0.5
+
+# packed-gather (gather_segment=2/4 pregather) variants join the tuning
+# space when the lane-slot inflation stays under this ratio: the gather
+# gains in row count while the kernel pays `ratio` more covered slots
+# and the gather's bandwidth term pays `ratio` more bytes. Measured on
+# v5e d256 bf16 clustered-subtile h2048: rmat-17 ratio 1.34 -> 1.29x
+# net WIN (11.9 -> 9.2 ms); reddit-proxy ratio 1.47 -> net LOSS (68.9
+# -> ~81 ms best case: kernel +65%, gather only -12% because the byte
+# term binds at 1 KB rows). The huge-regime space uses the tighter
+# bound (candidates there cost minutes to build+race); elsewhere the
+# tuner measures, so the looser gate only bounds tuning time.
+PACK_RATIO_THRESHOLD = 1.5
+PACK_RATIO_THRESHOLD_HUGE = 1.4
 
 
 def fused_auto_config(indptr, indices, num_nodes: int):

@@ -73,6 +73,43 @@ def _pick_block_d(
     return bd
 
 
+def _gather_rows(plan: SpmmPlan, feat: jax.Array, d_pad: int) -> jax.Array:
+    """Materialize the gathered X rows `xg[TB*K, d_pad]` in lane order.
+
+    seg == 1: XLA's native row gather (`jnp.take`) — its cost is
+    per-ROW up to ~1-2 KB rows (measured on v5e: ~constant Mrows/s from
+    256 B to ~1 KB row width), so thin rows waste most of the machine.
+
+    seg == q > 1 (packed gather): the plan's lanes come in q-aligned
+    runs of q consecutive source rows (format/preprocess.py seg
+    coverage), so the gather can fetch ONE q-row super-row per run head
+    instead of q thin rows. Same bytes, 1/q the rows — measured
+    1.5-3x faster gather at q in {2,4} on v5e. The cost is coverage
+    waste (covered-but-absent rows stream through the MXU as zero-bit
+    lanes); the tuner gates packed variants on `pack_ratios`.
+
+    Formulation note (both measured on v5e, rmat-17 d256): gathering
+    (q*d)-wide 2D super-rows and flattening back with an XLA reshape
+    costs a layout copy that is small relative to the win at
+    rmat-17-class sizes (q=2: 11.9 -> 9.2 ms end to end); gathering 3D
+    (rows, q, d) and merging inside the kernel avoids the XLA copy but
+    pays a per-step Mosaic relayout that measured strictly worse
+    (14.7 ms) — so the 2D flatten is the shipped form."""
+    n = feat.shape[0]
+    q = plan.config.gather_segment
+    if q == 1:
+        hind_flat = jnp.asarray(plan.hind).reshape(-1)
+        return jnp.take(feat, hind_flat, axis=0, mode="clip")
+    n_super = _cdiv(n, q)
+    if n_super * q != n:
+        feat = jnp.pad(feat, ((0, n_super * q - n), (0, 0)))
+    heads = jnp.asarray(plan.hind).reshape(-1, q)[:, 0] // q
+    xg = jnp.take(
+        feat.reshape(n_super, q * d_pad), heads, axis=0, mode="clip"
+    )
+    return xg.reshape(-1, d_pad)
+
+
 def _spmm_block_kernel(
     wob_ref,  # scalar-prefetch: int32 (num_groups,) window of each group
     bitmask_ref,  # (unroll, words, K) uint32
@@ -240,13 +277,15 @@ def spmm_pallas(
         feat = jnp.pad(feat, ((0, 0), (0, d_pad - d)))
     num_chunks = d_pad // block_d
 
-    # XLA-native irregular gather: rows of X in compressed-column order.
-    hind_flat = jnp.asarray(plan.hind).reshape(-1)
-    xg = jnp.take(feat, hind_flat, axis=0, mode="clip")
+    xg = _gather_rows(plan, feat, d_pad)
 
     unroll = cfg.block_unroll
     assert plan.total_blocks % unroll == 0, (plan.total_blocks, unroll)
     num_groups = plan.total_blocks // unroll
+
+    xg_spec = pl.BlockSpec(
+        (unroll * block_w, block_d), lambda c, b, *_: (b, c)
+    )
 
     if subtile:
         assert block_h % 128 == 0, "subtile needs block_h % 128 == 0"
@@ -257,9 +296,7 @@ def spmm_pallas(
                 pl.BlockSpec(
                     (unroll, words, block_w), lambda c, b, *_: (b, 0, 0)
                 ),
-                pl.BlockSpec(
-                    (unroll * block_w, block_d), lambda c, b, *_: (b, c)
-                ),
+                xg_spec,
             ],
             out_specs=pl.BlockSpec(
                 (block_h, block_d), lambda c, b, wob, occ: (wob[b], c)
@@ -279,11 +316,9 @@ def spmm_pallas(
             grid=(num_chunks, num_groups),
             in_specs=[
                 pl.BlockSpec(
-                    (unroll, words, block_w), lambda c, b, wob: (b, 0, 0)
+                    (unroll, words, block_w), lambda c, b, *_: (b, 0, 0)
                 ),
-                pl.BlockSpec(
-                    (unroll * block_w, block_d), lambda c, b, wob: (b, c)
-                ),
+                xg_spec,
             ],
             out_specs=pl.BlockSpec(
                 (block_h, block_d), lambda c, b, wob: (wob[b], c)

@@ -98,13 +98,18 @@ def attribute_spmm(table, plan) -> dict:
     (reference role: bench_kineto's kernel-name filter)."""
     import re
 
+    # packed-gather plans (gather_segment=q > 1) fetch one (q*d)-wide
+    # super-row per lane run, so the gather fusion's leading dim is
+    # gather_rows / q
+    q = plan.config.gather_segment
+    gather_dims = {plan.gather_rows, plan.gather_rows // max(q, 1)}
     out = {"gather_ms": 0.0, "kernel_ms": 0.0, "other_ms": 0.0}
     for row in table:
         name, ms = row["op"], row["ms_per_iter"]
         shape = re.search(r"=\s*\w+\[(\d+)[,\]]", name)
         if "custom-call" in name:
             out["kernel_ms"] += ms
-        elif shape is not None and int(shape.group(1)) == plan.gather_rows:
+        elif shape is not None and int(shape.group(1)) in gather_dims:
             out["gather_ms"] += ms
         else:
             out["other_ms"] += ms

@@ -242,6 +242,7 @@ _CLUSTER_ARGS = (
     ("num_windows", int),
     ("words", int),
     ("block_cols", int),
+    ("seg", int),
     ("block_ptr", np.int64),
     ("hind", np.int32),
     ("bitmask", np.uint32),
@@ -250,7 +251,7 @@ _CLUSTER_ARGS = (
 
 _CLUSTER_BODY = """
     __return_code = voltrix_tpu::cluster_windows(
-        num_windows, words, block_cols, block_ptr, hind, bitmask, occ);
+        num_windows, words, block_cols, seg, block_ptr, hind, bitmask, occ);
 """
 
 
@@ -275,7 +276,7 @@ def native_cluster(plan: SpmmPlan) -> SpmmPlan:
 
     fn = _build_cluster()
     cfg = plan.config
-    assert cfg.gather_segment == 1 and cfg.block_h % 128 == 0
+    assert cfg.block_h % 128 == 0
     if plan.total_blocks == 0:
         return dataclasses.replace(
             plan, occ=np.zeros(0, np.int32)
@@ -292,6 +293,7 @@ def native_cluster(plan: SpmmPlan) -> SpmmPlan:
         plan.num_windows,
         cfg.words_per_col,
         cfg.block_w,
+        cfg.gather_segment,
         bp,
         hind.reshape(-1),
         bm.reshape(-1),

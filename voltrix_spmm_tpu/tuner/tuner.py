@@ -159,6 +159,8 @@ def default_space(
     num_nodes: int | None = None,
     gather_rows_2048: int | None = None,
     device_mem_bytes: float | None = None,
+    pack_ratio2: float | None = None,
+    pack_ratio4: float | None = None,
 ) -> list[Variant]:
     """The standard tuning space (the reference's models 0/1/2 analogue).
 
@@ -244,21 +246,43 @@ def default_space(
 
         space = []
         geometries = [
-            # (block_h, rows_h estimate, subtile)
-            (128, nnz, False),  # ~no dedup at short windows
-            (512, r512, False),
+            # (block_h, rows_h estimate, subtile, gather_segment)
+            (128, nnz, False, 1),  # ~no dedup at short windows
+            (512, r512, False, 1),
             # h512 clustered-subtile: products-class graphs dedup to
             # ~0.35 rows/nnz at h512 with sub-window occupancy ~0.38 —
             # 35% less gather than h128 AND 62% of sub-products skipped,
             # at 1/3 the bitmask bytes of h2048
-            (512, r512, True),
+            (512, r512, True, 1),
             # tall clustered-subtile (unlocked by the native clustering
             # pass): community graphs dedup to ~0.1 rows/nnz at h2048
             # and skip ~72% of sub-tiles — 100.65 ms on reddit-proxy
             # d256 vs the fused kernel's 153.9 ms masked-dense floor
-            (2048, r2048, True),
+            (2048, r2048, True, 1),
         ]
-        for h, rows_h, sub in geometries:
+        # packed gather (seg=q pregather): the v5e gather law is
+        # per-ROW up to ~1-2 KB rows, so fetching one (q*d)-wide
+        # super-row per q-aligned run cuts gather rows ~q/ratio while
+        # the kernel pays `ratio` more covered slots. Huge-regime
+        # candidates cost minutes to build+race, so the TIGHT gate
+        # applies (reddit-proxy measured a net loss at ratio 1.47:
+        # kernel +65% > gather -12%)
+        from ..format.preprocess import PACK_RATIO_THRESHOLD_HUGE
+
+        if (
+            r2048 is not None
+            and pack_ratio2 is not None
+            and pack_ratio2 <= PACK_RATIO_THRESHOLD_HUGE
+        ):
+            geometries.append((2048, int(r2048 * pack_ratio2), True, 2))
+        if (
+            r2048 is not None
+            and pack_ratio4 is not None
+            and pack_ratio4 <= PACK_RATIO_THRESHOLD_HUGE
+            and (d or 0) * 2 * 4 <= 2048  # bf16 super-rows <= ~2 KB
+        ):
+            geometries.append((2048, int(r2048 * pack_ratio4), True, 4))
+        for h, rows_h, sub, seg in geometries:
             # bf16 storage is the huge-regime default (2.2-3.9x faster
             # gather, half the chunk residency); accurate=True keeps f32
             fdtype = None if accurate else "bfloat16"
@@ -272,7 +296,7 @@ def default_space(
                     Variant(
                         "pregather", block_h=h, block_unroll=4,
                         subtile=sub, stream_chunks=c,
-                        feat_dtype=fdtype,
+                        feat_dtype=fdtype, gather_segment=seg,
                     )
                 )
         # edge-per-lane (O(nnz) plan bytes, no bitmask): the scattered
@@ -313,6 +337,32 @@ def default_space(
         Variant("pregather", block_h=2048, block_unroll=4, subtile=True),
         Variant("hybrid", block_h=128, gather_segment=8),
     ]
+    # packed gather (seg=q pregather, clustered-subtile): one
+    # (q*d)-wide super-row per q-aligned lane run — the v5e gather law
+    # is per-ROW up to ~1-2 KB rows, so when run coverage is tight
+    # (pack_ratio <= threshold) the gather gets ~q/ratio faster while
+    # the kernel pays `ratio` more covered slots
+    from ..format.preprocess import PACK_RATIO_THRESHOLD
+
+    _esz = 2 if not accurate else 4
+    _packed = []
+    if pack_ratio2 is not None and pack_ratio2 <= PACK_RATIO_THRESHOLD:
+        _packed.append(2)
+    if (
+        pack_ratio4 is not None
+        and pack_ratio4 <= PACK_RATIO_THRESHOLD
+        and (d or 0) * 4 * _esz <= 4096  # super-rows past ~4 KB are
+        # purely BW-bound: no row-count win left, only coverage waste
+    ):
+        _packed.append(4)
+    for _q in _packed:
+        space.append(
+            Variant(
+                "pregather", block_h=2048, block_unroll=4,
+                subtile=True, gather_segment=_q,
+                feat_dtype=None if accurate else "bfloat16",
+            )
+        )
     fused_ok = coverage128 is None or coverage128 <= FUSED_COVERAGE_THRESHOLD
     if fused_ok:
         space.append(Variant("fused", block_h=2048, gather_segment=128, block_unroll=4))
@@ -605,7 +655,7 @@ class SpmmTuner:
             # O(nnz log nnz) host passes — only on a genuine cache miss
             # (a warm-cache call must stay O(1); the space is unused on
             # memory/disk hits)
-            from ..format.preprocess import coverage_expansion
+            from ..format.preprocess import coverage_expansion, pack_ratios
 
             nnz = len(indices)
             if values is not None:
@@ -631,8 +681,14 @@ class SpmmTuner:
                 coverage_expansion(indptr, indices, num_nodes, 512, 1) * nnz
             )
             d_ = int(feat.shape[1])
+            # one sort gives the h2048 seg=1 dedup AND the packed-run
+            # (seg=2/4) lane inflation ratios that gate the packed-
+            # gather candidates
+            lanes2048, ratios = pack_ratios(
+                indptr, indices, num_nodes, 2048, qs=(2, 4)
+            )
             rows2048 = (
-                int(coverage_expansion(indptr, indices, num_nodes, 2048, 1) * nnz)
+                lanes2048
                 # h2048 dedup matters only to the huge branch's memory gates
                 if rows512 * d_ * 4 > 4 * 2**30
                 else None
@@ -645,6 +701,8 @@ class SpmmTuner:
                 gather_rows=rows512,
                 num_nodes=num_nodes,
                 gather_rows_2048=rows2048,
+                pack_ratio2=ratios.get(2),
+                pack_ratio4=ratios.get(4),
             )
 
         verbose = env_flag(const.PRINT_AUTOTUNE_FLAG)
