@@ -99,6 +99,19 @@ def main():
             "pregather", block_h=2048, block_unroll=4, subtile=True,
             feat_dtype="bfloat16", gather_segment=4,
         ),
+        # deeper group unroll: 8 blocks (1024 lanes) per grid step —
+        # halves grid steps / occ-bitmap ORs at the cost of a wider
+        # group occupancy union
+        Variant(
+            "pregather", block_h=2048, block_unroll=8, subtile=True,
+            feat_dtype="bfloat16",
+        ),
+        # narrower feature chunk: 2 chunks re-read the bitmask twice
+        # but halve the VMEM output tile (pipeline headroom)
+        Variant(
+            "pregather", block_h=2048, block_unroll=4, subtile=True,
+            feat_dtype="bfloat16", block_d=128,
+        ),
     ]
     tuned = tune_spmm(
         a.indptr, a.indices, n, feat_np, space=space,
