@@ -370,3 +370,22 @@ def test_dropedge_duplicate_edges_eval_matches_training_convention(rng):
     a2 = sp.random(n, n, density=0.05, format="csr", random_state=rng)
     g2 = build_dropedge_graph(a2.indptr, a2.indices, n, PlanConfig(32, 128))
     assert not g2.has_duplicate_edges
+
+
+def test_auto_plan_config_bitmask_budget(rng):
+    """auto config steps h2048 down to h512 clustered-subtile when the
+    estimated dense bitmask would crowd device memory (the measured
+    products-scale OOM + winner geometry)."""
+    import scipy.sparse as sp
+
+    from voltrix_spmm_tpu.models.graph import auto_plan_config
+
+    n = 8192
+    a = sp.random(n, n, density=0.002, format="csr",
+                  random_state=np.random.default_rng(3))
+    big = auto_plan_config(a.indptr, a.indices, n)
+    assert big.block_h == 2048 and big.cluster_cols
+    tiny_budget = auto_plan_config(
+        a.indptr, a.indices, n, bitmask_budget_bytes=1024
+    )
+    assert tiny_budget.block_h == 512 and tiny_budget.cluster_cols

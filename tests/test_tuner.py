@@ -361,3 +361,32 @@ def test_weighted_memory_cache_fresh_values(problem, tmp_path):
         space=space, iters=1, hash_tag="vals", values=v2,
     )
     assert t3 is t2
+
+
+def test_explicit_space_is_part_of_cache_identity(problem, tmp_path):
+    """Adding candidates to an explicit `space=` must re-race, not
+    return the previous winner from disk (observed: bench.py's new
+    candidates never ran because the key ignored the space)."""
+    a, feat, oracle = problem
+    tuner = SpmmTuner(cache_dir=str(tmp_path))
+    space_a = [Variant("pregather", block_h=128, block_unroll=2)]
+    t1 = tuner.compile_and_tune(
+        a.indptr, a.indices, a.shape[0], feat, space=space_a, iters=1
+    )
+    assert len(t1.candidates) == 1
+    # a fresh tuner sharing the disk cache, now with a LARGER space:
+    # the new candidate must be raced (2 entries), not short-circuited
+    space_b = space_a + [Variant("pregather", block_h=256, block_unroll=2)]
+    fresh = SpmmTuner(cache_dir=str(tmp_path))
+    t2 = fresh.compile_and_tune(
+        a.indptr, a.indices, a.shape[0], feat, space=space_b, iters=1
+    )
+    assert len(t2.candidates) == 2
+    # same space again -> disk hit (no re-race)
+    again = SpmmTuner(cache_dir=str(tmp_path))
+    t3 = again.compile_and_tune(
+        a.indptr, a.indices, a.shape[0], feat, space=space_b, iters=1
+    )
+    assert set(t3.candidates) == set(t2.candidates)
+    out = np.asarray(t2(jnp.asarray(feat)))
+    np.testing.assert_allclose(out, oracle, rtol=1e-5, atol=1e-4)

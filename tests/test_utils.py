@@ -123,3 +123,16 @@ def test_fp8_round_quant_cast(rng):
     q = round_quant_fp8(x)
     assert q.dtype == jnp.float8_e4m3fn
     np.testing.assert_allclose(np.asarray(q).astype(np.float32), x)
+
+
+def test_device_trace_bench_runs(rng):
+    """Smoke: the memory-lean trace harness runs end to end and returns
+    a finite non-negative ms/iter (on CPU the xplane may carry no
+    '/device:' plane, in which case 0.0 is the documented floor)."""
+    import jax.numpy as jnp
+
+    from voltrix_spmm_tpu.utils import device_trace_bench
+
+    x = jnp.asarray(rng.standard_normal((256, 256)).astype(np.float32))
+    t = device_trace_bench(lambda c: c @ c, x, iters=2)
+    assert isinstance(t, float) and t >= 0.0 and np.isfinite(t)

@@ -47,6 +47,42 @@ class GraphData:
         return self.plan.num_nodes
 
 
+# dense h2048 bitmask bytes past this budget crowd out features/output
+# on one v5e (measured: ogbn-products-class 2.45M-node graphs build a
+# 6.25 GB h2048 bitmask -> device OOM, while h512 clustered-subtile at
+# 1.9 GB runs AND wins the tuned race at 409.9 ms vs h128's 549.0)
+AUTO_BITMASK_BUDGET_BYTES = 2 * 2**30
+
+
+def auto_plan_config(
+    indptr,
+    indices,
+    num_nodes: int,
+    bitmask_budget_bytes: int = AUTO_BITMASK_BUDGET_BYTES,
+) -> PlanConfig:
+    """Heuristic kernel-regime pick from the graph alone (no timing).
+
+    Coverage gate shared with the tuner/bench (`fused_auto_config`);
+    scattered graphs get tall clustered-subtile windows — h2048, the
+    tuner's measured power-law winner geometry (h1024 measured 13x
+    slower than the tuned variant on reordered rmat-17 d256) — unless
+    the estimated h2048 dense bitmask exceeds `bitmask_budget_bytes`,
+    in which case the geometry steps down to h512 clustered-subtile
+    (the measured products-scale winner)."""
+    from ..format.preprocess import coverage_expansion, fused_auto_config
+
+    cfg = fused_auto_config(indptr, indices, num_nodes)
+    if cfg is not None:
+        return cfg
+    if num_nodes >= 4096:
+        nnz = int(np.asarray(indices).shape[0])
+        rows2048 = coverage_expansion(indptr, indices, num_nodes, 2048, 1) * nnz
+        if rows2048 * 2048 // 8 > bitmask_budget_bytes:
+            return PlanConfig(512, 128, block_unroll=4, cluster_cols=True)
+        return PlanConfig(2048, 128, block_unroll=4, cluster_cols=True)
+    return PlanConfig()
+
+
 def build_graph(
     indptr,
     indices,
@@ -76,18 +112,7 @@ def build_graph(
         )
 
     def pick_config(ptr, idx):
-        # coverage gate shared with the tuner/bench (fused_auto_config);
-        # scattered graphs get tall clustered-subtile windows — h2048,
-        # the tuner's measured power-law winner geometry (h1024 measured
-        # 13x slower than the tuned variant on reordered rmat-17 d256)
-        from ..format.preprocess import fused_auto_config
-
-        cfg = fused_auto_config(ptr, idx, num_nodes)
-        if cfg is not None:
-            return cfg
-        if num_nodes >= 4096:
-            return PlanConfig(2048, 128, block_unroll=4, cluster_cols=True)
-        return PlanConfig()
+        return auto_plan_config(ptr, idx, num_nodes)
 
     if auto:
         config = pick_config(indptr, indices)

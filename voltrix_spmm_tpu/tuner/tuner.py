@@ -725,9 +725,23 @@ class SpmmTuner:
                 )
         tag = hash_tag or _matrix_hash(indptr, indices, num_nodes)
         wmark = ".w" if values is not None else ""
+        # An EXPLICIT space is part of the cache identity: without it,
+        # a caller adding candidates to `space=` silently gets the old
+        # winner back from disk and the new candidates never race
+        # (observed with bench.py's headline space). The default space
+        # stays un-hashed on purpose — it is built lazily only on a
+        # miss, so hashing it would force the O(nnz log nnz) host
+        # passes on every warm call; code changes to the default space
+        # invalidate via `_code_version()` instead.
+        smark = ""
+        if space is not None:
+            md5 = hashlib.md5(
+                "|".join(sorted(v.key() for v in space)).encode()
+            )
+            smark = f".s{md5.hexdigest()[:8]}"
         signature = (
             f"{tag}.n{num_nodes}.d{feat.shape[1]}.{np.dtype(feat.dtype).name}"
-            f"{wmark}.{_code_version()}"
+            f"{wmark}{smark}.{_code_version()}"
         )
         # The DISK key excludes the value contents on purpose (the
         # recorded winner is structure-only; the plan is rebuilt from the
@@ -949,10 +963,28 @@ class SpmmTuner:
                     compiled = futs[key].result() if key in futs else None
                     # device_loop_bench auto-scales the loop window, so
                     # sub-ms candidates need no special re-timing
-                    t = device_loop_bench(
-                        fn, feat, *fargs,
-                        iters=iters, trials=2, compiled=compiled,
-                    )
+                    try:
+                        t = device_loop_bench(
+                            fn, feat, *fargs,
+                            iters=iters, trials=2, compiled=compiled,
+                        )
+                    except Exception as loop_err:
+                        if "RESOURCE_EXHAUSTED" not in str(loop_err):
+                            raise
+                        # the loop harness keeps output + chained carry
+                        # + the loop double-buffer resident at once; at
+                        # reddit/products scale a candidate can fit a
+                        # single dispatch but not the loop. Re-time with
+                        # the memory-lean blocking-trace harness instead
+                        # of discarding a potentially winning candidate.
+                        from ..utils import device_trace_bench
+
+                        t = device_trace_bench(fn, feat, *fargs, iters=3)
+                        if verbose:
+                            print(
+                                f"voltrix_tpu tune: {key} loop harness "
+                                "OOM'd; timed via device_trace_bench"
+                            )
                 except Exception as e:  # invalid candidate -> skip, like
                     # the reference's return-code filter (tuner.py:108-116)
                     if verbose:

@@ -211,6 +211,58 @@ def device_loop_bench(
     return float(np.median(slopes))
 
 
+def device_trace_bench(
+    step_fn: Callable, carry, *args, iters: int = 3, warmup: int = 1
+) -> float:
+    """Memory-lean device time in ms/iter: per-iteration-blocking runs
+    under a `jax.profiler` trace, summing the XLA-Ops device events.
+
+    `device_loop_bench`'s on-device fori_loop needs the output AND the
+    chained carry resident simultaneously (plus the loop's double
+    buffer) — at reddit/products scale that extra residency OOMs even
+    when a single dispatch fits. Here every iteration blocks and frees
+    its output before the next starts, so peak memory equals one
+    dispatch; timing fidelity comes from the device trace (relay
+    round-trip jitter never enters the numbers, unlike wall-clock
+    timing, where `block_until_ready` is unreliable through the relay).
+    Slightly optimistic vs the loop harness (inter-op gaps inside one
+    iteration are not counted between ops that don't overlap), so the
+    tuner prefers the loop and falls back here only on RESOURCE_EXHAUSTED.
+    """
+    import glob
+    import tempfile
+
+    import jax
+
+    out = None
+    for _ in range(max(warmup, 1)):
+        out = step_fn(carry, *args)
+        jax.block_until_ready(out)
+        del out
+    tmp = tempfile.mkdtemp(prefix="voltrix_trace_bench_")
+    with jax.profiler.trace(tmp):
+        for _ in range(iters):
+            out = step_fn(carry, *args)
+            jax.block_until_ready(out)
+            del out
+    files = sorted(
+        glob.glob(os.path.join(tmp, "**", "*.xplane.pb"), recursive=True)
+    )
+    assert files, f"no xplane trace produced under {tmp}"
+    with open(files[-1], "rb") as f:
+        data = jax.profiler.ProfileData.from_serialized_xspace(f.read())
+    total_ns = 0.0
+    for plane in data.planes:
+        if not plane.name.startswith("/device:"):
+            continue
+        for line in plane.lines:
+            if line.name != "XLA Ops":
+                continue
+            for e in line.events:
+                total_ns += e.duration_ns
+    return total_ns / iters / 1e6
+
+
 class DurationTimer:
     """Context-manager timer returning elapsed ms (voltrix/utils.py:146-186).
 
