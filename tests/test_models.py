@@ -380,8 +380,11 @@ def test_auto_plan_config_bitmask_budget(rng):
 
     from voltrix_spmm_tpu.models.graph import auto_plan_config
 
+    # low-degree scattered graph: every 128-col segment is hit but
+    # coverage waste is ~1 slot/edge, so the fused gate (<= 0.5) does
+    # NOT fire and the pick lands in the tall-window branch
     n = 8192
-    a = sp.random(n, n, density=0.002, format="csr",
+    a = sp.random(n, n, density=4.0 / n, format="csr",
                   random_state=np.random.default_rng(3))
     big = auto_plan_config(a.indptr, a.indices, n)
     assert big.block_h == 2048 and big.cluster_cols
@@ -389,3 +392,38 @@ def test_auto_plan_config_bitmask_budget(rng):
         a.indptr, a.indices, n, bitmask_budget_bytes=1024
     )
     assert tiny_budget.block_h == 512 and tiny_budget.cluster_cols
+
+
+def test_streamed_graph_training_parity(rng):
+    """Window-chunked GraphData (stream_chunks): forward AND gradients
+    match the unstreamed graph — the products-scale training path where
+    one materialized gather exceeds HBM."""
+    import jax
+    import scipy.sparse as sp
+
+    from voltrix_spmm_tpu.format import PlanConfig
+    from voltrix_spmm_tpu.models import aggregate, build_graph
+
+    n, d = 700, 32
+    a = sp.random(n, n, density=0.02, format="csr",
+                  random_state=np.random.default_rng(5))
+    a = ((a + a.T) > 0).astype(np.float32).tocsr()
+    x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+
+    cfg = PlanConfig(128, 128, block_unroll=2)
+    g1 = build_graph(a.indptr, a.indices, n, cfg, symmetric=True)
+    g3 = build_graph(a.indptr, a.indices, n, cfg, symmetric=True,
+                     stream_chunks=3)
+    assert isinstance(g3.plan, list) and len(g3.plan) == 3
+    assert g3.num_nodes == n
+
+    out1 = np.asarray(aggregate(g1, x, mode="mean"))
+    out3 = np.asarray(aggregate(g3, x, mode="mean"))
+    np.testing.assert_allclose(out3, out1, rtol=1e-5, atol=1e-5)
+
+    def loss(xx, g):
+        return (aggregate(g, xx, mode="sum") ** 2).sum()
+
+    g1x = np.asarray(jax.grad(loss)(x, g1))
+    g3x = np.asarray(jax.grad(loss)(x, g3))
+    np.testing.assert_allclose(g3x, g1x, rtol=1e-4, atol=1e-4)

@@ -201,3 +201,27 @@ def test_default_space_memory_budget():
     )
     assert any(v.subtile and not v.stream_chunks for v in sp)
     assert any(v.impl == "fused" for v in sp)
+
+
+def test_public_spmm_accepts_chunk_lists(rng):
+    """ops.spmm on a window-chunk list == unstreamed result (the public
+    face of the streamed-training path)."""
+    import scipy.sparse as sp
+
+    from voltrix_spmm_tpu.format import PlanConfig, csr_preprocess
+    from voltrix_spmm_tpu.format.stream import slice_plan_windows
+    from voltrix_spmm_tpu.ops import spmm
+
+    n, d = 600, 64
+    a = sp.random(n, n, density=0.02, format="csr", random_state=rng)
+    a.data[:] = 1.0
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    plan = csr_preprocess(a.indptr, a.indices, n,
+                          PlanConfig(128, 128, block_unroll=2),
+                          backend="numpy")
+    import jax.numpy as jnp
+
+    full = np.asarray(spmm(plan, jnp.asarray(x)))
+    subs = slice_plan_windows(plan, 3)
+    chunked = np.asarray(spmm(subs, jnp.asarray(x)))
+    np.testing.assert_allclose(chunked, full, rtol=1e-5, atol=1e-5)

@@ -308,3 +308,21 @@ def test_device_packed_transfer_device(problem):
     from voltrix_spmm_tpu.ops import spmm_pallas
 
     _check(spmm_pallas(plan, jnp.asarray(feat), subtile=True), oracle)
+
+
+def test_packed_gather_subtile_device(problem):
+    """Packed gather (seg=q super-rows) through the clustered-subtile
+    kernel on real Mosaic — lane-run alignment and the packed reshape
+    are exactly the kind of layout contract interpret mode cannot
+    check."""
+    from voltrix_spmm_tpu.ops import spmm_pallas
+
+    a, feat, oracle = problem
+    for q in (2, 4):
+        cfg = PlanConfig(
+            512, 128, gather_segment=q, block_unroll=4, cluster_cols=True
+        )
+        plan = csr_preprocess(
+            a.indptr, a.indices, a.shape[0], cfg
+        ).device()
+        _check(spmm_pallas(plan, jnp.asarray(feat), subtile=True), oracle)

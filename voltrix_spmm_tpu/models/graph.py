@@ -44,6 +44,10 @@ class GraphData:
 
     @property
     def num_nodes(self):
+        # streamed graphs hold window-chunk lists (see build_graph
+        # stream_chunks); chunks partition the output rows
+        if isinstance(self.plan, (list, tuple)):
+            return sum(p.num_nodes for p in self.plan)
         return self.plan.num_nodes
 
 
@@ -90,6 +94,7 @@ def build_graph(
     config: PlanConfig | str = PlanConfig(),
     symmetric: bool | None = None,
     backend: str = "auto",
+    stream_chunks: int | None = None,
 ) -> GraphData:
     """Preprocess adjacency into a GraphData (plans for A and A^T plus
     mean-aggregation degree normalization).
@@ -117,6 +122,17 @@ def build_graph(
     if auto:
         config = pick_config(indptr, indices)
     plan = csr_preprocess(indptr, indices, num_nodes, config, backend=backend)
+    if stream_chunks is None and auto:
+        # products-class graphs: one materialized gather exceeds HBM
+        # next to activations; window-chunked streaming bounds peak
+        # memory to one chunk (nominal 512 B/row = bf16 d256 — callers
+        # that know their d should pass stream_chunks explicitly)
+        if plan.gather_rows * 512 > 4 * 2**30:
+            stream_chunks = int(-(-plan.gather_rows * 512 // 2**30))
+    if stream_chunks and stream_chunks > 1:
+        from ..format.stream import slice_plan_windows
+
+        plan = slice_plan_windows(plan, stream_chunks)
     a = sp.csr_matrix(
         (
             np.ones(np.asarray(indices).shape[0], dtype=np.float32),
@@ -141,6 +157,10 @@ def build_graph(
         plan_t = csr_preprocess(
             at.indptr, at.indices, num_nodes, config_t, backend=backend
         )
+        if stream_chunks and stream_chunks > 1:
+            from ..format.stream import slice_plan_windows
+
+            plan_t = slice_plan_windows(plan_t, stream_chunks)
     deg = np.asarray(a.sum(axis=1)).reshape(num_nodes, 1)
     inv_deg = (1.0 / np.maximum(deg, 1.0)).astype(np.float32)
     inv_sqrt_deg = (1.0 / np.sqrt(np.maximum(deg, 1.0))).astype(np.float32)

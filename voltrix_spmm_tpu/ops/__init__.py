@@ -79,6 +79,15 @@ def spmm(plan, feat, *, impl: str = "auto", **kwargs):
         out = spmm(plan, flat, impl=impl, **kwargs)
         return jnp.transpose(out.reshape(-1, b, d), (1, 0, 2))
 
+    if isinstance(plan, (list, tuple)):
+        # window-chunk lists (format.stream.slice_plan_windows / a
+        # streamed build_graph): bounded-memory pregather dispatch
+        assert impl in ("auto", "pregather", "pallas"), (
+            f"streamed plan lists dispatch pregather chunks, not {impl!r}"
+        )
+        sub = plan[0].config.cluster_cols if plan else False
+        return spmm_streamed(plan, feat, subtile=sub, **kwargs)
+
     if isinstance(plan, HybridPlan):
         return spmm_pallas_hybrid(plan, feat, **kwargs)
     if isinstance(plan, EllPlan):

@@ -23,9 +23,21 @@ def _dispatch(plan, feat):
     the dense/sparse split — the measured winners on their regimes — so
     GCN training gets the right kernel in both directions from the plan
     alone. `plan` and `plan_t` are independent: either side may be any
-    plan type as long as it encodes the right matrix."""
+    plan type as long as it encodes the right matrix.
+
+    A LIST/TUPLE of sub-plans (window chunks from
+    `format.stream.slice_plan_windows`) dispatches each chunk and
+    concatenates along rows: the streamed-training path for graphs
+    whose single materialized gather exceeds HBM (products-class).
+    The VJP stays correct because the transpose side is streamed the
+    same way — row chunks of A^T partition the d/dfeat rows."""
     from ..format.hybrid import HybridPlan
 
+    if isinstance(plan, (list, tuple)):
+        import jax.numpy as jnp
+
+        outs = [_dispatch(s, feat) for s in plan]
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
     if isinstance(plan, HybridPlan):
         from .hybrid import spmm_pallas_hybrid
 
