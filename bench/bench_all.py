@@ -175,13 +175,33 @@ def run(args):
                     out = np.asarray(fn(feat, *rest))
                     diff = calc_diff(out, oracle)
                     assert diff < 1e-4, f"accuracy failure: {diff}"
-                    t = device_loop_bench(
-                        lambda c, *r, fn=fn: fn(c, *r),
-                        feat,
-                        *rest,
-                        iters=args.iters,
-                        trials=2,
-                    )
+                    del out
+                    try:
+                        t = device_loop_bench(
+                            lambda c, *r, fn=fn: fn(c, *r),
+                            feat,
+                            *rest,
+                            iters=args.iters,
+                            trials=2,
+                        )
+                    except Exception as loop_err:
+                        if "RESOURCE_EXHAUSTED" not in str(loop_err):
+                            raise
+                        # products-class cells fit one dispatch but not
+                        # the fori-loop's extra residency — fall back to
+                        # the memory-lean blocking-trace harness
+                        from voltrix_spmm_tpu.utils import (
+                            device_trace_bench,
+                        )
+
+                        t = device_trace_bench(
+                            lambda c, *r, fn=fn: fn(c, *r),
+                            feat, *rest, iters=3,
+                        )
+                        print(
+                            f"[{method}] {name} d={d}: loop harness "
+                            "OOM'd; timed via device_trace_bench"
+                        )
                 except Exception as e:
                     print(f"[{method}] {name} d={d}: FAILED ({e})")
                     rows.append([name, method, d, float("nan")])

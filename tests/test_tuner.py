@@ -390,3 +390,22 @@ def test_explicit_space_is_part_of_cache_identity(problem, tmp_path):
     assert set(t3.candidates) == set(t2.candidates)
     out = np.asarray(t2(jnp.asarray(feat)))
     np.testing.assert_allclose(out, oracle, rtol=1e-5, atol=1e-4)
+
+
+def test_isolated_probe_tuning(problem, tmp_path):
+    """isolate=True times every candidate in its own subprocess (the
+    huge-graph session-poisoning defense; tuner/probe.py) and returns
+    a correct winner."""
+    a, feat, oracle = problem
+    tuner = SpmmTuner(cache_dir=str(tmp_path))
+    tuned = tuner.compile_and_tune(
+        a.indptr, a.indices, a.shape[0], feat,
+        space=tiny_space(), iters=1, isolate=True,
+        probe_timeout_s=600.0,
+    )
+    assert len(tuned.candidates) == 2
+    assert all(np.isfinite(v) for v in tuned.candidates.values()), (
+        tuned.candidates
+    )
+    out = np.asarray(tuned(jnp.asarray(feat)))
+    np.testing.assert_allclose(out, oracle, rtol=1e-5, atol=1e-4)

@@ -470,6 +470,91 @@ def _reorder(name: str, indptr, indices, num_nodes: int, values=None):
     return a2.indptr, a2.indices, vals2, np.asarray(perm, np.int32)
 
 
+def _variant_plan_key(variant: Variant):
+    """Plan-sharing key: variants that differ only in runtime knobs
+    (compute dtype, feature chunk, ...) share one built plan."""
+    cfg = variant.plan_config
+    if variant.impl == "ell":
+        return ("ell", cfg, variant.stream_chunks)
+    if variant.impl == "weighted":
+        return ("weighted", cfg)
+    if variant.impl == "hybrid":
+        return ("hybrid", cfg, variant.threshold)
+    if variant.stream_chunks:
+        return (cfg, variant.stream_chunks)
+    return (cfg,)
+
+
+def build_variant_plan(
+    variant: Variant,
+    indptr,
+    indices,
+    num_nodes: int,
+    values,
+    backend: str = "auto",
+    weighted: bool | None = None,
+):
+    """Build this variant's DEVICE-resident plan (list for streamed
+    variants). Shared by the in-process tuner and the isolated probe
+    subprocess (tuner/probe.py)."""
+    cfg = variant.plan_config
+    if weighted is None:
+        weighted = values is not None
+    if weighted and variant.impl not in ("ell", "weighted"):
+        # a binary variant would tune (and win with) the WRONG result —
+        # same discipline as the kernel-level guards
+        raise ValueError(
+            f"variant {variant.key()} is binary; weighted tuning "
+            "accepts impl='ell' or impl='weighted' only"
+        )
+    if variant.impl == "ell":
+        from ..format.ell import csr_preprocess_ell, slice_ell_windows
+
+        base = csr_preprocess_ell(
+            indptr, indices, num_nodes, cfg, values=values
+        )
+        return (
+            [
+                s.device()
+                for s in slice_ell_windows(base, variant.stream_chunks)
+            ]
+            if variant.stream_chunks
+            else base.device()
+        )
+    if variant.impl == "weighted":
+        return csr_preprocess(
+            indptr, indices, num_nodes, cfg, values=values
+        ).device()
+    if variant.impl == "hybrid":
+        from ..format.hybrid import csr_preprocess_hybrid
+
+        hp = csr_preprocess_hybrid(
+            indptr,
+            indices,
+            num_nodes,
+            dense_config=cfg,
+            threshold=variant.threshold,
+            backend=backend,
+        )
+        return HybridPlan(
+            hp.dense.device(), hp.sparse.device(),
+            hp.num_nodes, hp.num_edges,
+        )
+    if variant.stream_chunks:
+        from ..format.stream import slice_plan_windows
+
+        base = csr_preprocess(
+            indptr, indices, num_nodes, cfg, backend=backend
+        )
+        return [
+            s.device()
+            for s in slice_plan_windows(base, variant.stream_chunks)
+        ]
+    return csr_preprocess(
+        indptr, indices, num_nodes, cfg, backend=backend
+    ).device()
+
+
 def _run_variant(variant: Variant, plan, feat, perm=None, inv_perm=None):
     import jax.numpy as jnp
 
@@ -619,9 +704,20 @@ class SpmmTuner:
         budget_s: float | None = None,
         parallel_compile: bool = False,
         values=None,
+        isolate: bool | None = None,
+        probe_timeout_s: float = 1800.0,
     ) -> TunedSpmm:
         """Pick the fastest (variant, ordering) for this (matrix,
         feature-shape) pair.
+
+        isolate: time each candidate in its OWN subprocess
+        (tuner/probe.py). None (default) auto-enables past ~4 GB of
+        f32 edge-feature volume: racing huge candidates in one process
+        poisons the device session (measured kept-buffer inflation +
+        fragmentation OOMs at products scale). The reference's tuner
+        has the same architecture — one nvcc/ctypes subprocess per
+        candidate, validity by return code (jit_kernels/tuner.py:
+        84-116).
 
         `feat` is a representative feature array (shape/dtype matter).
         reorderings: orderings to race by MEASURED time (e.g.
@@ -771,81 +867,13 @@ class SpmmTuner:
             return csrs[ordering]
 
         def plan_for_variant(variant: Variant, ordering: str = "identity"):
-            import jax
-
             ptr, idx, vals, _ = csr_for(ordering)
-            cfg = variant.plan_config
-            if values is not None and variant.impl not in ("ell", "weighted"):
-                # a binary variant would tune (and win with) the WRONG
-                # result — same discipline as the kernel-level guards
-                raise ValueError(
-                    f"variant {variant.key()} is binary; weighted tuning "
-                    "accepts impl='ell' or impl='weighted' only"
-                )
-            if variant.impl == "ell":
-                from ..format.ell import csr_preprocess_ell, slice_ell_windows
-
-                key = (ordering, "ell", cfg, variant.stream_chunks)
-                if key not in plans:
-                    base = csr_preprocess_ell(
-                        ptr, idx, num_nodes, cfg, values=vals
-                    )
-                    plans[key] = (
-                        [
-                            s.device()
-                            for s in slice_ell_windows(
-                                base, variant.stream_chunks
-                            )
-                        ]
-                        if variant.stream_chunks
-                        else base.device()
-                    )
-                return plans[key]
-            if variant.impl == "weighted":
-                key = (ordering, "weighted", cfg)
-                if key not in plans:
-                    plans[key] = csr_preprocess(
-                        ptr, idx, num_nodes, cfg, values=vals
-                    ).device()
-                return plans[key]
-            if variant.impl == "hybrid":
-                key = (ordering, "hybrid", cfg, variant.threshold)
-                if key not in plans:
-                    from ..format.hybrid import csr_preprocess_hybrid
-
-                    hp = csr_preprocess_hybrid(
-                        ptr,
-                        idx,
-                        num_nodes,
-                        dense_config=cfg,
-                        threshold=variant.threshold,
-                        backend=backend,
-                    )
-                    plans[key] = HybridPlan(
-                        hp.dense.device(), hp.sparse.device(),
-                        hp.num_nodes, hp.num_edges,
-                    )
-                return plans[key]
-            if variant.stream_chunks:
-                key = (ordering, cfg, variant.stream_chunks)
-                if key not in plans:
-                    from ..format.stream import slice_plan_windows
-
-                    base = csr_preprocess(
-                        ptr, idx, num_nodes, cfg, backend=backend
-                    )
-                    plans[key] = [
-                        s.device()
-                        for s in slice_plan_windows(
-                            base, variant.stream_chunks
-                        )
-                    ]
-                return plans[key]
-            key = (ordering, cfg)
+            key = (ordering,) + _variant_plan_key(variant)
             if key not in plans:
-                plans[key] = csr_preprocess(
-                    ptr, idx, num_nodes, cfg, backend=backend
-                ).device()
+                plans[key] = build_variant_plan(
+                    variant, ptr, idx, num_nodes, vals, backend,
+                    weighted=values is not None,
+                )
             return plans[key]
 
         def perm_arrays(ordering: str):
@@ -883,7 +911,12 @@ class SpmmTuner:
 
         if space is None:
             space = build_default_space()
-        feat = jnp.asarray(feat)
+        if isolate is None:
+            isolate = len(indices) * int(feat.shape[1]) * 4 > 4 * 2**30
+        feat_shape_d = int(feat.shape[1])
+        feat_dtype_name = np.dtype(feat.dtype).name
+        if not isolate:
+            feat = jnp.asarray(feat)
         results: dict[str, float] = {}
         best = None  # (time, variant, plan, ordering, perm, inv_perm)
         t_begin = time.perf_counter()
@@ -896,16 +929,7 @@ class SpmmTuner:
         from ..utils import device_loop_prepare
 
         def plan_key(variant: Variant, ordering: str):
-            cfg = variant.plan_config
-            if variant.impl == "ell":
-                return (ordering, "ell", cfg, variant.stream_chunks)
-            if variant.impl == "weighted":
-                return (ordering, "weighted", cfg)
-            if variant.impl == "hybrid":
-                return (ordering, "hybrid", cfg, variant.threshold)
-            if variant.stream_chunks:
-                return (ordering, cfg, variant.stream_chunks)
-            return (ordering, cfg)
+            return (ordering,) + _variant_plan_key(variant)
 
         def make_runner(variant, plan, perm, inv_perm):
             if perm is None:
@@ -918,7 +942,85 @@ class SpmmTuner:
         candidates = [
             (f"{o}|{v.key()}", v, o) for o in reorderings for v in space
         ]
-        pool = ThreadPoolExecutor(max_workers=4) if parallel_compile else None
+
+        probe_state = {"csr": None}
+
+        def probe_candidate(variant: Variant, ordering: str):
+            """One isolated probe run -> (ms | inf, error|None)."""
+            import subprocess
+            import sys as _sys
+            import tempfile
+
+            if probe_state["csr"] is None:
+                f = tempfile.NamedTemporaryFile(
+                    prefix="voltrix_probe_csr_", suffix=".npz", delete=False
+                )
+                arrs = {
+                    "indptr": np.asarray(indptr),
+                    "indices": np.asarray(indices),
+                }
+                if values is not None:
+                    arrs["values"] = np.asarray(values, np.float32)
+                np.savez(f, **arrs)
+                f.close()
+                probe_state["csr"] = f.name
+            spec = {
+                "csr": probe_state["csr"],
+                "num_nodes": num_nodes,
+                "d": feat_shape_d,
+                "feat_dtype": feat_dtype_name,
+                "variant": dataclasses.asdict(variant),
+                "ordering": ordering,
+                "iters": iters,
+                "backend": backend,
+            }
+            sf = tempfile.NamedTemporaryFile(
+                "w", prefix="voltrix_probe_", suffix=".json", delete=False
+            )
+            json.dump(spec, sf)
+            sf.close()
+            import voltrix_spmm_tpu as _pkg
+
+            env = dict(os.environ)
+            pkg_parent = os.path.dirname(
+                os.path.dirname(os.path.abspath(_pkg.__file__))
+            )
+            env["PYTHONPATH"] = (
+                pkg_parent + os.pathsep + env.get("PYTHONPATH", "")
+            )
+            try:
+                r = subprocess.run(
+                    [
+                        _sys.executable,
+                        "-m",
+                        "voltrix_spmm_tpu.tuner.probe",
+                        sf.name,
+                    ],
+                    capture_output=True,
+                    text=True,
+                    timeout=probe_timeout_s,
+                    env=env,
+                )
+            except subprocess.TimeoutExpired:
+                return float("inf"), f"timeout after {probe_timeout_s:.0f}s"
+            for line in reversed((r.stdout or "").strip().splitlines()):
+                line = line.strip()
+                if not line.startswith("{"):
+                    continue
+                try:
+                    out = json.loads(line)
+                except ValueError:
+                    continue
+                if out.get("ok"):
+                    return float(out["time_ms"]), None
+                return float("inf"), out.get("error", "probe failed")
+            return float("inf"), (r.stderr or "no output")[-300:]
+
+        pool = (
+            ThreadPoolExecutor(max_workers=4)
+            if parallel_compile and not isolate
+            else None
+        )
         futs: dict[str, object] = {}
         try:
             if pool is not None:
@@ -950,6 +1052,18 @@ class SpmmTuner:
                     skipped += 1
                     if key in futs:
                         futs[key].cancel()
+                    continue
+                if isolate:
+                    t, err = probe_candidate(variant, ordering)
+                    results[key] = t
+                    if verbose:
+                        tail = f" ({err})" if err else ""
+                        print(
+                            f"voltrix_tpu tune: {key} -> {t:.3f} ms "
+                            f"[probe]{tail}"
+                        )
+                    if t != float("inf") and (best is None or t < best[0]):
+                        best = (t, variant, None, ordering, None, None)
                     continue
                 pk = plan_key(variant, ordering)
                 try:
@@ -1017,8 +1131,24 @@ class SpmmTuner:
         finally:
             if pool is not None:
                 pool.shutdown(wait=False, cancel_futures=True)
+            if probe_state["csr"] is not None:
+                try:
+                    os.unlink(probe_state["csr"])
+                except OSError:
+                    pass
 
         assert best is not None, "no valid tuning candidate"
+        if isolate:
+            # probes never ship plans back; build the winner's once
+            perm_w, inv_w = perm_arrays(best[3])
+            best = (
+                best[0],
+                best[1],
+                plan_for_variant(best[1], best[3]),
+                best[3],
+                perm_w,
+                inv_w,
+            )
         tuned = TunedSpmm(
             plan=best[2],
             variant=best[1],
