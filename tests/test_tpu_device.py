@@ -326,3 +326,21 @@ def test_packed_gather_subtile_device(problem):
             a.indptr, a.indices, a.shape[0], cfg
         ).device()
         _check(spmm_pallas(plan, jnp.asarray(feat), subtile=True), oracle)
+
+
+def test_export_servable_pallas_device(problem):
+    """The real Mosaic kernel serializes through jax.export and the
+    deserialized artifact reproduces the oracle — the deployment path
+    (serve.export_servable) for the actual serving program, which the
+    CPU tier cannot cover (interpret mode is not a serializable
+    program)."""
+    from voltrix_spmm_tpu.ops import spmm_pallas
+    from voltrix_spmm_tpu.serve import export_servable, load_servable
+
+    a, feat, oracle = problem
+    plan = csr_preprocess(
+        a.indptr, a.indices, a.shape[0], PlanConfig(512, 128)
+    ).device()
+    blob = export_servable(lambda x: spmm_pallas(plan, x), jnp.asarray(feat))
+    served = load_servable(blob)
+    _check(served(jnp.asarray(feat)), oracle)

@@ -16,6 +16,7 @@ plus the tuple-style compatibility wrappers in ``voltrix_spmm_tpu.spmm``.
 """
 
 from . import project
+from . import serve
 from .format import csr_preprocess, SpmmPlan, PlanConfig
 from .ops import spmm, spmm_reference
 from .tuner import tune_spmm, TunedSpmm, Variant
@@ -45,4 +46,5 @@ __all__ = [
     "BLK_H",
     "BLK_W",
     "project",
+    "serve",
 ]
