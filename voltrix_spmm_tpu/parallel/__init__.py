@@ -21,8 +21,18 @@ from .hybrid import (
     hybrid_sharded_spmm,
     make_hybrid_train_step,
 )
+from .grid2d import (
+    Grid2DPlan,
+    build_grid2d_plan,
+    grid2d_spmm,
+    make_grid2d_train_step,
+)
 
 __all__ = [
+    "Grid2DPlan",
+    "build_grid2d_plan",
+    "grid2d_spmm",
+    "make_grid2d_train_step",
     "RingShardedPlan",
     "build_ring_sharded_plan",
     "ring_sharded_spmm",
