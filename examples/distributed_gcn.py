@@ -1,12 +1,18 @@
 #!/usr/bin/env python
 """Example: full-graph distributed GCN training on a device mesh.
 
-Partitions a planted-community graph's rows across devices, trains with
-row-sharded activations (all_gather forward / psum_scatter backward over
-ICI). Runs on a virtual CPU mesh too:
+Partitions a planted-community graph across devices and trains with one
+of the partitioned modes:
+
+    --mode row     row shards, all_gather fwd / psum_scatter bwd (default)
+    --mode ring    ppermute ring overlapped with block SpMM compute
+    --mode grid2d  2D (SUMMA-style): A split over BOTH mesh axes,
+                   plan memory ~ nnz/ndev
+
+Runs on a virtual CPU mesh too:
 
     XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-        python examples/distributed_gcn.py --devices 8
+        python examples/distributed_gcn.py --devices 8 --mode grid2d
 """
 
 import argparse
@@ -34,7 +40,11 @@ def main(args):
     from voltrix_spmm_tpu.format import PlanConfig
     from voltrix_spmm_tpu.models import init_gcn
     from voltrix_spmm_tpu.parallel import (
+        build_grid2d_plan,
+        build_ring_sharded_plan,
         build_row_sharded_plan,
+        make_grid2d_train_step,
+        make_ring_train_step,
         make_row_sharded_train_step,
     )
 
@@ -51,10 +61,29 @@ def main(args):
     a = ((a + a.T) != 0).astype(np.float32).tocsr()
 
     ndev = args.devices
-    plan = build_row_sharded_plan(
-        a.indptr, a.indices, n, ndev, PlanConfig(128, 128), with_transpose=True
-    )
-    mesh = Mesh(np.asarray(jax.devices()[:ndev]), ("data",))
+    cfg = PlanConfig(128, 128)
+    if args.mode == "row":
+        plan = build_row_sharded_plan(
+            a.indptr, a.indices, n, ndev, cfg, with_transpose=True
+        )
+        mesh = Mesh(np.asarray(jax.devices()[:ndev]), ("data",))
+    elif args.mode == "ring":
+        plan = build_ring_sharded_plan(
+            a.indptr, a.indices, n, ndev, cfg, with_transpose=True
+        )
+        mesh = Mesh(np.asarray(jax.devices()[:ndev]), ("data",))
+    elif args.mode == "grid2d":
+        ncol = 4 if ndev % 4 == 0 else (2 if ndev % 2 == 0 else 1)
+        nrow = ndev // ncol
+        plan = build_grid2d_plan(
+            a.indptr, a.indices, n, nrow, ncol, cfg, with_transpose=True
+        )
+        mesh = Mesh(
+            np.asarray(jax.devices()[:ndev]).reshape(nrow, ncol),
+            ("row", "col"),
+        )
+    else:
+        raise SystemExit(f"unknown --mode {args.mode}")
     n_pad = plan.num_nodes
     deg = np.maximum(np.asarray(a.sum(1)).ravel(), 1.0)
     inv_deg = np.zeros(n_pad, np.float32)
@@ -65,13 +94,18 @@ def main(args):
     y[:n] = np.arange(n) // comm
 
     params = init_gcn(jax.random.PRNGKey(args.seed), args.feat_dim, args.hidden, classes)
-    step = make_row_sharded_train_step(plan, mesh, inv_deg, lr=args.lr)
+    makers = {
+        "row": make_row_sharded_train_step,
+        "ring": make_ring_train_step,
+        "grid2d": make_grid2d_train_step,
+    }
+    step = makers[args.mode](plan, mesh, inv_deg, lr=args.lr)
     xj, yj = jnp.asarray(x), jnp.asarray(y)
     for i in range(args.steps):
         params, loss = step(params, xj, yj)
         if i % 10 == 0 or i == args.steps - 1:
             print(f"step {i:4d}  loss {float(loss):.4f}")
-    print(f"devices={ndev} shard_rows={plan.shard_rows} final loss {float(loss):.4f}")
+    print(f"mode={args.mode} devices={ndev} final loss {float(loss):.4f}")
 
 
 if __name__ == "__main__":
@@ -84,5 +118,6 @@ if __name__ == "__main__":
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--lr", type=float, default=5e-2)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mode", choices=("row", "ring", "grid2d"), default="row")
     p.add_argument("--cpu", action="store_true", default=True)
     main(p.parse_args())
