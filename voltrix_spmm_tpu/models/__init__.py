@@ -25,6 +25,12 @@ from .rgcn import (
     rgcn_loss,
     make_rgcn_train_step,
 )
+from .deep_gcn import (
+    init_deep_gcn,
+    deep_gcn_forward,
+    deep_gcn_loss,
+    make_deep_train_step,
+)
 from .appnp import init_appnp, appnp_forward, appnp_loss
 from .dropedge import (
     DropEdgeGraph,
@@ -60,6 +66,10 @@ __all__ = [
     "GraphData",
     "build_graph",
     "aggregate",
+    "init_deep_gcn",
+    "deep_gcn_forward",
+    "deep_gcn_loss",
+    "make_deep_train_step",
     "init_gcn",
     "gcn_forward",
     "gcn_loss",
