@@ -27,12 +27,36 @@ def init_gcn(key, in_dim: int, hidden: int, num_classes: int, dtype=jnp.float32)
     }
 
 
-def gcn_forward(params, g: GraphData, x: jax.Array) -> jax.Array:
-    """logits = agg(relu(agg(x) @ W1 + b1)) @ W2 + b2, mean aggregation."""
-    h = aggregate(g, x, mode="mean")
-    h = jax.nn.relu(h @ params["w1"] + params["b1"])
-    h = aggregate(g, h, mode="mean")
-    return h @ params["w2"] + params["b2"]
+def _agg_linear(g, x, w, transform_first):
+    """agg(x) @ w computed in the cheaper order.
+
+    Aggregation is linear, so agg(x) @ w == agg(x @ w) exactly (up to
+    float association); when the output width is smaller than the input
+    width, transforming FIRST shrinks the SpMM's feature dimension —
+    the gather stream AND the masked-matmul width scale with it (the
+    standard right-multiplication-first GCN trick; DGL/PyG do the
+    same). "auto" applies it only when in_dim > 256: below that the v5e
+    gather is per-ROW-issue-bound (DESIGN.md gather law) so a narrower
+    row saves nothing, and the kernel's 128-lane padding floors the
+    rest (measured full train step, rmat-17 hidden 128: d256 17.0 ->
+    18.0 ms — a wash; d512 26.3 -> 18.8 ms — 1.40x)."""
+    if transform_first == "auto":
+        transform_first = x.shape[-1] > 256 and w.shape[1] < x.shape[-1]
+    if transform_first:
+        return aggregate(g, x @ w, mode="mean")
+    return aggregate(g, x, mode="mean") @ w
+
+
+def gcn_forward(
+    params, g: GraphData, x: jax.Array, *, transform_first="auto"
+) -> jax.Array:
+    """logits = agg(relu(agg(x) @ W1 + b1)) @ W2 + b2, mean aggregation.
+
+    transform_first: "auto" (default) aggregates each layer in the
+    cheaper of the two mathematically-equal orders (see _agg_linear);
+    False reproduces the aggregate-then-transform order exactly."""
+    h = jax.nn.relu(_agg_linear(g, x, params["w1"], transform_first) + params["b1"])
+    return _agg_linear(g, h, params["w2"], transform_first) + params["b2"]
 
 
 def gcn_loss(params, g: GraphData, x: jax.Array, labels: jax.Array) -> jax.Array:

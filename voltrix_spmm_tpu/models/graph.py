@@ -164,6 +164,18 @@ def build_graph(
     deg = np.asarray(a.sum(axis=1)).reshape(num_nodes, 1)
     inv_deg = (1.0 / np.maximum(deg, 1.0)).astype(np.float32)
     inv_sqrt_deg = (1.0 / np.sqrt(np.maximum(deg, 1.0))).astype(np.float32)
+    # Commit plan arrays to the device ONCE. csr_preprocess returns
+    # host (numpy) arrays by design (serializable build artifact), but
+    # GraphData's documented usage is as a TRACED jit argument — with
+    # numpy leaves every dispatch re-uploads the whole plan (measured:
+    # ~4 s of fixed per-dispatch transfer at rmat-17 scale through the
+    # relay, 200x the 17 ms train step it was feeding, and the likely
+    # trigger of the historical rmat-17 bench worker crashes).
+    if plan_t is plan:
+        plan = plan_t = jax.device_put(plan)
+    else:
+        plan = jax.device_put(plan)
+        plan_t = jax.device_put(plan_t)
     # large scattered graphs stream gathers in bf16 (the tuner's
     # measured winner: 2.2-3.9x faster gather on v5e, f32 accumulation)
     agg_dtype = (

@@ -89,7 +89,9 @@ def build_link_candidates(
         num_nodes,
         config=config,
     )
-    return plan, plan_t, jnp.asarray(labels)
+    # commit to device once: the candidate plans feed every training
+    # step as traced arguments (numpy leaves would re-upload per step)
+    return plan.device(), plan_t.device(), jnp.asarray(labels)
 
 
 def link_scores(plan, plan_t, h: jax.Array) -> jax.Array:
