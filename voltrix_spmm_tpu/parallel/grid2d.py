@@ -343,7 +343,13 @@ def make_grid2d_train_step(
         "build_grid2d_plan(..., with_transpose=True) required for training"
     )
     import optax
+    from jax.sharding import NamedSharding
 
+    # device-commit each device's block once, laid out on the 2D mesh
+    # (numpy leaves would re-upload the whole grid per step, ring.py)
+    plan = jax.device_put(
+        plan, NamedSharding(mesh, P(row_axis, col_axis))
+    )
     invd = jnp.asarray(np.asarray(inv_deg, np.float32).reshape(-1, 1))
 
     def forward(params, plan_arg, invd_arg, x):

@@ -183,7 +183,13 @@ def make_hybrid_train_step(
         "training"
     )
     import optax
+    from jax.sharding import NamedSharding
 
+    # device-commit the grid once, sharded over the flattened
+    # (host, chip) device order the step consumes (see ring.py)
+    plan = jax.device_put(
+        plan, NamedSharding(mesh, P((host_axis, chip_axis)))
+    )
     invd = jnp.asarray(np.asarray(inv_deg, np.float32).reshape(-1, 1))
 
     def forward(params, plan_arg, invd_arg, x):

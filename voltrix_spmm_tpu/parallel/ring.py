@@ -312,7 +312,13 @@ def make_ring_train_step(
         "training (the backward runs the transpose-plan ring)"
     )
     import optax
+    from jax.sharding import NamedSharding
 
+    # commit the block grid to the mesh ONCE, sharded the way the step
+    # consumes it — numpy leaves would re-upload the whole grid on
+    # EVERY training step (the models/graph.py per-dispatch-transfer
+    # bug, distributed edition)
+    plan = jax.device_put(plan, NamedSharding(mesh, P(axis)))
     invd = jnp.asarray(np.asarray(inv_deg, np.float32).reshape(-1, 1))
 
     def forward(params, plan_arg, invd_arg, x):

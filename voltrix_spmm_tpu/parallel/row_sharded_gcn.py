@@ -149,8 +149,14 @@ def make_row_sharded_train_step(
     assert plan.bitmask_t is not None, (
         "build_row_sharded_plan(..., with_transpose=True) required for training"
     )
+    # device-commit the shards once IN THEIR CONSUMED SHARDING — a plain
+    # jnp.asarray would land everything on device 0 and pay a reshard
+    # per step on a real mesh
+    from jax.sharding import NamedSharding
+
+    shard_sharding = NamedSharding(mesh, P(axis))
     arrays = tuple(
-        jnp.asarray(a)
+        jax.device_put(np.asarray(a), shard_sharding)
         for a in (
             plan.bitmask, plan.hind, plan.window_of_block, plan.block_ptr,
             plan.bitmask_t, plan.hind_t, plan.window_of_block_t,
