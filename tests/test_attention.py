@@ -1,0 +1,237 @@
+"""Fused flash-attention kernel on the binned plan (ops/attention.py):
+forward vs a dense oracle across plan geometries, gradient parity, lse
+stats, and the weighted-plan rejection guard."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from voltrix_spmm_tpu.format import PlanConfig, csr_preprocess
+from voltrix_spmm_tpu.ops import spmm_attention, spmm_attention_ad
+
+NEG = -1e30
+
+
+def random_graph(rng, n=260, density=0.03, empty_tail=0):
+    a = sp.random(n, n, density=density, format="csr", random_state=rng)
+    a.data[:] = 1.0
+    a = ((a + a.T) != 0).astype(np.float32).tocsr()
+    if empty_tail:
+        # zero out the last `empty_tail` rows AND their columns so whole
+        # windows at the tail are empty (has_empty_windows path)
+        keep = sp.diags(
+            np.r_[np.ones(n - empty_tail), np.zeros(empty_tail)]
+        )
+        a = (keep @ a @ keep).tocsr()
+        a.eliminate_zeros()
+    return a
+
+
+def dense_attn(a, q, k, v, scale, slope):
+    mask = jnp.asarray(a.toarray() != 0)
+    e = (q @ k.T) * scale
+    if slope != 1.0:
+        e = jnp.where(e > 0, e, slope * e)
+    e = jnp.where(mask, e, NEG)
+    m = jnp.max(e, axis=1, keepdims=True)
+    alpha = jnp.exp(e - m) * mask
+    denom = jnp.sum(alpha, axis=1, keepdims=True)
+    p = alpha / jnp.maximum(denom, 1e-30)
+    return p @ v
+
+
+def qkv(rng, n, dk, dv):
+    return (
+        jnp.asarray(rng.standard_normal((n, dk)).astype(np.float32)),
+        jnp.asarray(rng.standard_normal((n, dk)).astype(np.float32)),
+        jnp.asarray(rng.standard_normal((n, dv)).astype(np.float32)),
+    )
+
+
+@pytest.mark.parametrize(
+    "cfg",
+    [
+        PlanConfig(32, 128),
+        PlanConfig(128, 128, block_unroll=2),
+        PlanConfig(256, 128, cluster_cols=True),
+        PlanConfig(128, 128, gather_segment=2),
+    ],
+    ids=["h32", "h128u2", "h256cluster", "h128seg2"],
+)
+@pytest.mark.parametrize("slope", [1.0, 0.2], ids=["ident", "leaky"])
+def test_forward_matches_dense(rng, cfg, slope):
+    a = random_graph(rng)
+    n, dk, dv = a.shape[0], 24, 40
+    plan = csr_preprocess(a.indptr, a.indices, n, cfg)
+    q, k, v = qkv(rng, n, dk, dv)
+    scale = 1.0 / dk**0.5
+    got = spmm_attention(
+        plan, q, k, v, scale=scale, negative_slope=slope
+    )
+    want = dense_attn(a, q, k, v, scale, slope)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
+    )
+
+
+def test_forward_chunked_separate_gathers(rng):
+    """dv past block_d forces the two-gather chunked path."""
+    a = random_graph(rng, n=200)
+    n, dk, dv = 200, 16, 200
+    plan = csr_preprocess(a.indptr, a.indices, n, PlanConfig(64, 128))
+    q, k, v = qkv(rng, n, dk, dv)
+    got = spmm_attention(plan, q, k, v, scale=0.25, block_d=128)
+    want = dense_attn(a, q, k, v, 0.25, 1.0)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
+    )
+
+
+def test_isolated_rows_padded_empty_windows(rng):
+    """Few empty windows: preprocess pads them with zero-bit blocks
+    (pad_empty_windows), so the kernel itself must emit exact zeros and
+    the sentinel lse for all-masked groups."""
+    a = random_graph(rng, n=300, density=0.02, empty_tail=170)
+    n, dk, dv = 300, 8, 16
+    plan = csr_preprocess(a.indptr, a.indices, n, PlanConfig(64, 128))
+    assert not plan.has_empty_windows  # padded, visited in-kernel
+    q, k, v = qkv(rng, n, dk, dv)
+    got, lse = spmm_attention(
+        plan, q, k, v, scale=1.0, return_stats=True
+    )
+    want = dense_attn(a, q, k, v, 1.0, 1.0)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
+    )
+    deg = np.diff(a.indptr)
+    assert np.all(np.asarray(got)[deg == 0] == 0.0)
+    assert np.all(np.asarray(lse)[:n][deg == 0] > 1e29)
+
+
+def test_isolated_rows_and_empty_windows(rng):
+    """Empty windows dominate (>64): preprocess leaves them unvisited
+    and has_empty_windows gates the post-kernel zeroing."""
+    n, dk, dv = 2560, 8, 16
+    a = random_graph(rng, n=n, density=0.004, empty_tail=2200)
+    plan = csr_preprocess(a.indptr, a.indices, n, PlanConfig(32, 128))
+    assert plan.has_empty_windows
+    q, k, v = qkv(rng, n, dk, dv)
+    got, lse = spmm_attention(
+        plan, q, k, v, scale=1.0, return_stats=True
+    )
+    want = dense_attn(a, q, k, v, 1.0, 1.0)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
+    )
+    # isolated rows aggregate to exactly zero and carry the sentinel lse
+    deg = np.diff(a.indptr)
+    assert np.all(np.asarray(got)[deg == 0] == 0.0)
+    assert np.all(np.asarray(lse)[: n][deg == 0] > 1e29)
+
+
+def test_lse_matches_dense(rng):
+    a = random_graph(rng, n=150)
+    n, dk, dv = 150, 12, 12
+    plan = csr_preprocess(a.indptr, a.indices, n, PlanConfig(32, 128))
+    q, k, v = qkv(rng, n, dk, dv)
+    _, lse = spmm_attention(plan, q, k, v, scale=0.5, return_stats=True)
+    mask = a.toarray() != 0
+    e = np.where(mask, (np.asarray(q) @ np.asarray(k).T) * 0.5, -np.inf)
+    want = np.zeros(n)
+    has = mask.any(axis=1)
+    m = e[has].max(axis=1)
+    want[has] = m + np.log(np.exp(e[has] - m[:, None]).sum(axis=1))
+    np.testing.assert_allclose(
+        np.asarray(lse)[:n][has], want[has], rtol=1e-5, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize(
+    "cfg",
+    [PlanConfig(32, 128), PlanConfig(128, 128, block_unroll=2)],
+    ids=["h32", "h128u2"],
+)
+def test_grad_matches_dense(rng, cfg):
+    a = random_graph(rng, n=140, density=0.04)
+    n, dk, dv = 140, 12, 20
+    plan = csr_preprocess(a.indptr, a.indices, n, cfg)
+    q, k, v = qkv(rng, n, dk, dv)
+    w = jnp.asarray(rng.standard_normal((n, dv)).astype(np.float32))
+    scale, slope = 1.0 / dk**0.5, 0.2
+
+    def loss_kernel(q, k, v):
+        out = spmm_attention_ad(
+            plan, q, k, v, scale=scale, negative_slope=slope
+        )
+        return jnp.sum(out * w)
+
+    def loss_dense(q, k, v):
+        return jnp.sum(dense_attn(a, q, k, v, scale, slope) * w)
+
+    got = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for g, wv, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(wv), rtol=2e-3, atol=2e-4,
+            err_msg=f"d{name}",
+        )
+
+
+def test_grad_through_projections(rng):
+    """End-to-end: gradients flow into q/k/v projection weights."""
+    a = random_graph(rng, n=100)
+    n, d, h = 100, 10, 12
+    plan = csr_preprocess(a.indptr, a.indices, n, PlanConfig(32, 128))
+    x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    wq = jnp.asarray(rng.standard_normal((d, h)).astype(np.float32) * 0.3)
+    wk = jnp.asarray(rng.standard_normal((d, h)).astype(np.float32) * 0.3)
+    wv = jnp.asarray(rng.standard_normal((d, h)).astype(np.float32) * 0.3)
+
+    def loss(params):
+        wq, wk, wv = params
+        out = spmm_attention_ad(
+            plan, x @ wq, x @ wk, x @ wv, negative_slope=0.2
+        )
+        return jnp.sum(out**2)
+
+    def loss_dense(params):
+        wq, wk, wv = params
+        out = dense_attn(a, x @ wq, x @ wk, x @ wv, 1.0 / h**0.5, 0.2)
+        return jnp.sum(out**2)
+
+    got = jax.grad(loss)((wq, wk, wv))
+    want = jax.grad(loss_dense)((wq, wk, wv))
+    for g, wv_, name in zip(got, want, ["wq", "wk", "wv"]):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(wv_), rtol=2e-3, atol=2e-4,
+            err_msg=name,
+        )
+
+
+def test_weighted_plan_rejected(rng):
+    a = random_graph(rng, n=64)
+    plan = csr_preprocess(
+        a.indptr, a.indices, 64, PlanConfig(32, 128), values=a.data
+    )
+    q, k, v = qkv(rng, 64, 8, 8)
+    with pytest.raises(ValueError, match="value"):
+        spmm_attention(plan, q, k, v)
+
+
+def test_jit_and_vmap_free(rng):
+    """The op jits with the plan as a traced pytree argument."""
+    a = random_graph(rng, n=96)
+    plan = csr_preprocess(a.indptr, a.indices, 96, PlanConfig(32, 128))
+    q, k, v = qkv(rng, 96, 8, 8)
+    f = jax.jit(
+        lambda p, q, k, v: spmm_attention(p, q, k, v, scale=0.3)
+    )
+    got = f(plan, q, k, v)
+    want = dense_attn(a, q, k, v, 0.3, 1.0)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
+    )

@@ -18,7 +18,7 @@ plus the tuple-style compatibility wrappers in ``voltrix_spmm_tpu.spmm``.
 from . import project
 from . import serve
 from .format import csr_preprocess, SpmmPlan, PlanConfig
-from .ops import spmm, spmm_reference
+from .ops import spmm, spmm_attention, spmm_attention_ad, spmm_reference
 from .tuner import tune_spmm, TunedSpmm, Variant
 from .utils import calc_diff, relative_error, TPU_bench, CPU_bench
 
@@ -33,6 +33,8 @@ __version__ = "0.1.0"
 __all__ = [
     "csr_preprocess",
     "spmm",
+    "spmm_attention",
+    "spmm_attention_ad",
     "tune_spmm",
     "TunedSpmm",
     "Variant",

@@ -19,6 +19,7 @@ from .ell import (
     spmm_ell_dvals,
     spmm_ell_streamed,
 )
+from .attention import spmm_attention, spmm_attention_ad
 
 
 def spmm_streamed(plan, feat, *, num_chunks: int = 8, subtile=False, **kwargs):
@@ -116,6 +117,8 @@ def spmm(plan, feat, *, impl: str = "auto", **kwargs):
 __all__ = [
     "spmm",
     "spmm_ad",
+    "spmm_attention",
+    "spmm_attention_ad",
     "spmm_pallas",
     "spmm_pallas_fused",
     "spmm_pallas_int8",
