@@ -344,3 +344,47 @@ def test_export_servable_pallas_device(problem):
     blob = export_servable(lambda x: spmm_pallas(plan, x), jnp.asarray(feat))
     served = load_servable(blob)
     _check(served(jnp.asarray(feat)), oracle)
+
+
+def test_flash_attention_device(problem):
+    """Fused flash-attention SpMM on real Mosaic: fwd vs a dense oracle
+    (online-softmax revisiting + combined (k||v) gather) and grads
+    finite through the recompute backward."""
+    from voltrix_spmm_tpu.ops import spmm_attention, spmm_attention_ad
+
+    a, feat, _ = problem
+    n = a.shape[0]
+    rng = np.random.default_rng(11)
+    dk, dv = 48, 80
+    q = jnp.asarray(rng.standard_normal((n, dk)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((n, dk)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((n, dv)).astype(np.float32))
+    plan = csr_preprocess(
+        a.indptr, a.indices, n, PlanConfig(128, 128, block_unroll=2)
+    ).device()
+    scale, slope = 1.0 / dk**0.5, 0.2
+    got = np.asarray(
+        spmm_attention(plan, q, k, v, scale=scale, negative_slope=slope)
+    )
+    # dense oracle
+    mask = a.toarray() != 0
+    e = (np.asarray(q) @ np.asarray(k).T) * scale
+    e = np.where(e > 0, e, slope * e)
+    e = np.where(mask, e, -np.inf)
+    m = np.where(mask.any(1, keepdims=True), e.max(1, keepdims=True), 0.0)
+    al = np.where(mask, np.exp(e - m), 0.0)
+    den = np.maximum(al.sum(1, keepdims=True), 1e-30)
+    want = (al / den) @ np.asarray(v)
+    assert calc_diff(got, want) < 1e-4
+
+    w = jnp.asarray(rng.standard_normal((n, dv)).astype(np.float32))
+    grads = jax.grad(
+        lambda q_, k_, v_: jnp.sum(
+            spmm_attention_ad(
+                plan, q_, k_, v_, scale=scale, negative_slope=slope
+            )
+            * w
+        ),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    assert all(bool(jnp.isfinite(g).all()) for g in grads)

@@ -52,6 +52,13 @@ from .readout import (
     gin_classifier_loss,
     make_classifier_train_step,
 )
+from .gat_flash import (
+    flash_attention_aggregate,
+    init_gat_flash,
+    gat_flash_forward,
+    gat_flash_loss,
+    make_gat_flash_train_step,
+)
 from .gat import (
     GatGraph,
     build_gat_graph,
@@ -113,6 +120,11 @@ __all__ = [
     "init_gat_dot",
     "gat_dot_forward",
     "gat_dot_loss",
+    "flash_attention_aggregate",
+    "init_gat_flash",
+    "gat_flash_forward",
+    "gat_flash_loss",
+    "make_gat_flash_train_step",
     "build_gat_graph",
     "init_gat",
     "gat_forward",

@@ -1,0 +1,105 @@
+"""Flash GAT: dot-product attention GAT on the fused one-kernel path.
+
+Same math as `models.gat_ell` (scores e_uv = leaky_relu(scale q_u.k_v),
+per-destination softmax, aggregate v) but the whole head is ONE fused
+Pallas launch over the dedup'd binned `SpmmPlan` (`ops.spmm_attention_ad`)
+instead of the three-pass ELL pipeline (SDDMM kernel -> O(nnz) segment
+softmax -> weighted ELL SpMM). Consequences:
+
+- no O(nnz) attention vector ever exists (residuals are out + lse, O(n));
+- the gather dedup of the binned format applies (each distinct neighbor
+  fetched once per window vs once per edge on ELL);
+- no transpose plan and no edge-endpoint arrays are needed — the model's
+  graph container is just the binary plan from `csr_preprocess`.
+
+Semantics note: the binary plan collapses duplicate CSR edges (presence
+bits), while the ELL formulation keeps duplicate edges as separate
+softmax logits. On deduplicated adjacency (the GNN norm, and the
+reference's workload — bmat_kernels.cuh:16-20) the two are identical;
+tests assert head-for-head parity against `gat_ell` on such graphs.
+
+Model family beyond the reference (its kernels serve binary GCN/SAGE
+aggregation only); this is the framework's transformer-class flagship.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..format.plan import SpmmPlan
+from ..ops.attention import spmm_attention_ad
+
+
+def flash_attention_aggregate(
+    plan: SpmmPlan,
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    negative_slope: float = 0.2,
+    scale: float | None = None,
+) -> jax.Array:
+    """One attention head, fused: out_u = sum_v alpha_uv v_v with
+    alpha = softmax_v(leaky_relu(scale q_u . k_v)) over u's in-neighbors.
+    Differentiable in q/k/v (flash-style recompute backward)."""
+    return spmm_attention_ad(
+        plan, q, k, v, scale=scale, negative_slope=negative_slope
+    )
+
+
+def init_gat_flash(
+    key,
+    in_dim: int,
+    hidden: int,
+    num_classes: int,
+    num_heads: int = 4,
+    dtype=jnp.float32,
+):
+    """2-layer flash GAT: layer 1 = num_heads concatenated heads, layer 2
+    = one head -> logits. Parameter tree is identical to
+    `models.init_gat_dot` so the two formulations are drop-in comparable."""
+    from .gat_ell import init_gat_dot
+
+    return init_gat_dot(
+        key, in_dim, hidden, num_classes, num_heads=num_heads, dtype=dtype
+    )
+
+
+def gat_flash_forward(params, plan: SpmmPlan, x: jax.Array) -> jax.Array:
+    heads = [
+        flash_attention_aggregate(
+            plan,
+            x @ params["wq1"][h],
+            x @ params["wk1"][h],
+            x @ params["wv1"][h],
+        )
+        for h in range(params["wq1"].shape[0])
+    ]
+    h = jax.nn.elu(jnp.concatenate(heads, axis=1))
+    return flash_attention_aggregate(
+        plan, h @ params["wq2"], h @ params["wk2"], h @ params["wv2"]
+    )
+
+
+def gat_flash_loss(params, plan: SpmmPlan, x, labels):
+    import optax
+
+    logits = gat_flash_forward(params, plan, x)
+    return optax.softmax_cross_entropy_with_integer_labels(
+        logits, labels
+    ).mean()
+
+
+def make_gat_flash_train_step(lr: float = 1e-2):
+    """Jitted SGD step (params, plan, x, labels) -> (params, loss)."""
+
+    @jax.jit
+    def step(params, plan, x, labels):
+        loss, grads = jax.value_and_grad(gat_flash_loss)(
+            params, plan, x, labels
+        )
+        params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
+        return params, loss
+
+    return step
