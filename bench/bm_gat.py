@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""GAT benchmark: fused flash-attention formulation (binned plan, one
+Pallas launch per head, O(n) residuals) vs the three-pass ELL pipeline
+(SDDMM kernel -> O(nnz) segment softmax -> lane-weighted ELL SpMM).
+
+Both models share the identical parameter tree (models/gat_flash.py),
+so cells differ only by the attention formulation. Run ONE method per
+process (CLAUDE.md bench pathology: cross-program re-measures inflate
+through kept-alive device buffers):
+
+    python bench/bm_gat.py data/rmat-17.npz --method flash --mode train
+    python bench/bm_gat.py data/rmat-17.npz --method ell   --mode train
+
+Model family beyond the reference (its kernels serve binary GCN
+aggregation only — bmat_kernels.cuh:16-20); timing protocol mirrors
+bm_gcn.py so rows merge into the same results.csv.
+"""
+
+import argparse
+import csv
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(args):
+    import jax
+    import jax.numpy as jnp
+
+    import graph_gen
+    from voltrix_spmm_tpu.format import PlanConfig, csr_preprocess
+    from voltrix_spmm_tpu.models import (
+        build_ell_graph,
+        gat_dot_forward,
+        gat_dot_loss,
+        gat_flash_forward,
+        gat_flash_loss,
+        init_gat_flash,
+    )
+    from voltrix_spmm_tpu.utils import device_loop_bench
+
+    a = graph_gen.load(args.graph)
+    n = a.shape[0]
+    name = os.path.basename(args.graph).split(".")[0]
+    cfg = PlanConfig(args.block_h, 128, block_unroll=args.unroll)
+
+    if args.method == "flash":
+        graph = csr_preprocess(a.indptr, a.indices, n, cfg).device()
+        fwd, loss_fn = gat_flash_forward, gat_flash_loss
+    elif args.method == "ell":
+        graph = build_ell_graph(a.indptr, a.indices, n, cfg)
+        fwd, loss_fn = gat_dot_forward, gat_dot_loss
+    else:
+        raise SystemExit(f"unknown --method {args.method!r}")
+
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.integers(0, args.classes, n), jnp.int32)
+    rows = []
+    for d in [int(s) for s in args.dims.split(",")]:
+        params = init_gat_flash(
+            jax.random.PRNGKey(0),
+            d,
+            args.hidden,
+            args.classes,
+            num_heads=args.heads,
+        )
+        x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+
+        if args.mode == "fwd":
+
+            def step(c, p, g):
+                return c + 1e-38 * jnp.sum(fwd(p, g, c))
+
+        else:
+
+            def step(c, p, g):
+                loss, grads = jax.value_and_grad(loss_fn)(p, g, c, y)
+                new_p = jax.tree.map(lambda q, gr: q - 1e-2 * gr, p, grads)
+                return loss + sum(
+                    jnp.sum(l) for l in jax.tree.leaves(new_p)
+                )
+
+        label = f"GAT-{args.mode}-{args.method}"
+        try:
+            t = device_loop_bench(
+                step, x, params, graph, iters=args.iters, trials=2
+            )
+        except Exception as e:
+            print(f"[{label}] {name} d={d}: FAILED ({e})")
+            rows.append([name, label, d, float("nan")])
+            continue
+        print(
+            f"[{label}] {name} d={d} hidden={args.hidden} "
+            f"heads={args.heads}: {t:.3f} ms/{args.mode}"
+        )
+        rows.append([name, label, d, round(t, 4)])
+
+    if args.csv:
+        exists = os.path.exists(args.csv)
+        with open(args.csv, "a", newline="") as f:
+            w = csv.writer(f)
+            if not exists:
+                w.writerow(["dataset", "method", "featdim", "time_ms"])
+            w.writerows(rows)
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("graph")
+    p.add_argument("--method", default="flash", choices=["flash", "ell"])
+    p.add_argument("--mode", default="fwd", choices=["fwd", "train"])
+    p.add_argument("--dims", default="64,256")
+    p.add_argument("--hidden", type=int, default=64)
+    p.add_argument("--heads", type=int, default=4)
+    p.add_argument("--classes", type=int, default=32)
+    p.add_argument("--block-h", type=int, default=128)
+    p.add_argument("--unroll", type=int, default=4)
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--csv", default="")
+    args = p.parse_args()
+    main(args)
