@@ -186,18 +186,69 @@ def main():
     )
 
 
-if __name__ == "__main__":
-    if not wait_for_tpu():
-        print(
-            json.dumps(
-                {
-                    "metric": "spmm_speedup_vs_bcoo_rmat17_d256",
-                    "value": 0.0,
-                    "unit": "x",
-                    "vs_baseline": 0.0,
-                    "detail": {"error": "TPU relay unreachable"},
-                }
+def resilient():
+    """Probe + bounded-retry orchestration (reference timing protocol
+    role: voltrix/utils.py:324-350 warmup/iters; here the hazard is the
+    relay, documented to drop for ~10-20 min at a time — BENCH_r03
+    died on a single 10-min probe window). Each measurement attempt
+    runs in its OWN subprocess so a mid-run relay drop poisons only
+    that attempt; the tuner's persistent cache makes retries cheap."""
+    import os
+    import subprocess
+
+    deadline = time.time() + float(
+        os.environ.get("VOLTRIX_TPU_BENCH_BUDGET_S", "2700")
+    )
+    errors = []
+    attempt = 0
+    while time.time() < deadline and attempt < 5:
+        attempt += 1
+        probe_window = min(600.0, max(60.0, deadline - time.time()))
+        if not wait_for_tpu(probe_window):
+            errors.append(
+                f"attempt {attempt}: relay probe failed for "
+                f"{probe_window:.0f}s"
             )
+            continue
+        budget = min(1500.0, max(120.0, deadline - time.time()))
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--measure"]
+                + [a for a in sys.argv[1:] if a != "--measure"],
+                capture_output=True,
+                text=True,
+                timeout=budget,
+            )
+        except subprocess.TimeoutExpired:
+            errors.append(f"attempt {attempt}: measurement timeout {budget:.0f}s")
+            continue
+        sys.stderr.write(r.stderr or "")
+        for line in reversed((r.stdout or "").strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{") and '"metric"' in line:
+                print(line)
+                return 0
+        errors.append(
+            f"attempt {attempt}: rc={r.returncode} "
+            f"tail={((r.stderr or r.stdout) or 'no output')[-200:]!r}"
         )
-        sys.exit(0)
-    main()
+        time.sleep(30)
+    print(
+        json.dumps(
+            {
+                "metric": "spmm_speedup_vs_bcoo_rmat17_d256",
+                "value": 0.0,
+                "unit": "x",
+                "vs_baseline": 0.0,
+                "detail": {"error": "; ".join(errors) or "no attempts ran"},
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    if "--measure" in sys.argv:
+        main()
+    else:
+        sys.exit(resilient())

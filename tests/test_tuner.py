@@ -401,11 +401,48 @@ def test_isolated_probe_tuning(problem, tmp_path):
     tuned = tuner.compile_and_tune(
         a.indptr, a.indices, a.shape[0], feat,
         space=tiny_space(), iters=1, isolate=True,
-        probe_timeout_s=600.0,
+        # probes are pinned to the parent's CPU backend (tuner.py env
+        # scrub) so each costs ~2 s of interpreter startup, not a
+        # 73 s relay dial; the bound keeps a 1-core box honest
+        probe_timeout_s=120.0,
     )
     assert len(tuned.candidates) == 2
     assert all(np.isfinite(v) for v in tuned.candidates.values()), (
         tuned.candidates
     )
     out = np.asarray(tuned(jnp.asarray(feat)))
+    np.testing.assert_allclose(out, oracle, rtol=1e-5, atol=1e-4)
+
+
+def test_partial_race_resume(problem, tmp_path):
+    """A race killed mid-way (relay drop / attempt timeout) leaves a
+    `.partial` sidecar of per-candidate times; the next race with the
+    same signature must prefill those instead of re-timing them, and
+    must rebuild the winner's plan (partials never carry plans)."""
+    a, feat, oracle = problem
+    space = tiny_space()
+    t1 = SpmmTuner(cache_dir=str(tmp_path)).compile_and_tune(
+        a.indptr, a.indices, a.shape[0], feat, space=space, iters=1
+    )
+    # a COMPLETED race must not leave a resume sidecar behind
+    assert not any(f.endswith(".partial") for f in os.listdir(tmp_path))
+    (disk,) = [f for f in os.listdir(tmp_path) if f.startswith("tune.")]
+    # simulate the mid-race kill: drop the final entry, plant a partial
+    # with an absurdly fast time for ONE candidate
+    fake_key = sorted(t1.candidates)[0]
+    with open(os.path.join(tmp_path, disk + ".partial"), "w") as f:
+        json.dump({"results": {fake_key: 1e-6}}, f)
+    os.unlink(os.path.join(tmp_path, disk))
+    t2 = SpmmTuner(cache_dir=str(tmp_path)).compile_and_tune(
+        a.indptr, a.indices, a.shape[0], feat, space=space, iters=1
+    )
+    # the planted time was trusted (not re-timed) and wins the race...
+    assert t2.time_ms == 1e-6
+    assert f"identity|{t2.variant.key()}" == fake_key
+    # ...the other candidate was timed fresh, the winner's plan was
+    # rebuilt, and the finished race cleaned up its sidecar
+    assert len(t2.candidates) == 2
+    assert all(np.isfinite(v) for v in t2.candidates.values())
+    assert not any(f.endswith(".partial") for f in os.listdir(tmp_path))
+    out = np.asarray(t2(jnp.asarray(feat)))
     np.testing.assert_allclose(out, oracle, rtol=1e-5, atol=1e-4)

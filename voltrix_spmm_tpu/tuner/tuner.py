@@ -943,6 +943,39 @@ class SpmmTuner:
             (f"{o}|{v.key()}", v, o) for o in reorderings for v in space
         ]
 
+        # Partial-race resume: a relay drop / attempt timeout used to
+        # lose every timed candidate (the disk entry is written only
+        # after a FULL race — BENCH_r03 died this way). Persist each
+        # candidate's time as it lands; the next race with the same
+        # signature prefills and re-times only what's missing.
+        partial = disk + ".partial"
+
+        def save_partial():
+            os.makedirs(self.cache_dir(), exist_ok=True)
+            tmp = partial + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"results": results}, f)
+            os.replace(tmp, partial)
+
+        if os.path.exists(partial):
+            try:
+                with open(partial) as f:
+                    prior = json.load(f).get("results", {})
+            except ValueError:
+                prior = {}
+            for key, variant, ordering in candidates:
+                if key in prior:
+                    results[key] = float(prior[key])
+                    t = results[key]
+                    if t != float("inf") and (best is None or t < best[0]):
+                        # plan=None: rebuilt for the winner at the end
+                        best = (t, variant, None, ordering, None, None)
+            if results and verbose:
+                print(
+                    f"voltrix_tpu tune: resumed {len(results)} candidate "
+                    f"time(s) from a partial race"
+                )
+
         probe_state = {"csr": None}
 
         def probe_candidate(variant: Variant, ordering: str):
@@ -988,6 +1021,18 @@ class SpmmTuner:
             env["PYTHONPATH"] = (
                 pkg_parent + os.pathsep + env.get("PYTHONPATH", "")
             )
+            # Pin the probe to the PARENT's backend. On this box a
+            # sitecustomize hook registers the TPU-relay PJRT plugin in
+            # every python process whenever PALLAS_AXON_POOL_IPS is set,
+            # and that registration OVERRIDES JAX_PLATFORMS=cpu
+            # (measured: probe startup 73 s on the relay vs 1.9 s on
+            # CPU; unbounded when the relay is down). A CPU-suite tuner
+            # must never have its probes silently dial the relay.
+            import jax as _jax
+
+            if _jax.default_backend() == "cpu":
+                env.pop("PALLAS_AXON_POOL_IPS", None)
+                env["JAX_PLATFORMS"] = "cpu"
             try:
                 r = subprocess.run(
                     [
@@ -1027,6 +1072,8 @@ class SpmmTuner:
                 # compile-ahead needs every plan resident up front —
                 # only worthwhile on hosts with a local compiler
                 for key, variant, ordering in candidates:
+                    if key in results:  # prefilled from a partial race
+                        continue
                     try:
                         plan = plan_for_variant(variant, ordering)
                         fn, fargs = make_runner(
@@ -1042,7 +1089,7 @@ class SpmmTuner:
 
             skipped = 0
             for i, (key, variant, ordering) in enumerate(candidates):
-                if key in results:  # failed at compile-ahead
+                if key in results:  # failed at compile-ahead / prefilled
                     continue
                 if (
                     budget_s is not None
@@ -1056,6 +1103,7 @@ class SpmmTuner:
                 if isolate:
                     t, err = probe_candidate(variant, ordering)
                     results[key] = t
+                    save_partial()
                     if verbose:
                         tail = f" ({err})" if err else ""
                         print(
@@ -1111,6 +1159,7 @@ class SpmmTuner:
                         print(f"voltrix_tpu tune: {key} -> {t:.3f} ms")
                     if best is None or t < best[0]:
                         best = (t, variant, plan, ordering, *perm_arrays(ordering))
+                save_partial()
                 # evict device plans no remaining candidate shares and the
                 # current best does not own (multi-GB residency otherwise)
                 if pool is None:
@@ -1138,8 +1187,9 @@ class SpmmTuner:
                     pass
 
         assert best is not None, "no valid tuning candidate"
-        if isolate:
-            # probes never ship plans back; build the winner's once
+        if best[2] is None:
+            # probes (and partial-race prefills) never ship plans back;
+            # build the winner's once
             perm_w, inv_w = perm_arrays(best[3])
             best = (
                 best[0],
@@ -1174,6 +1224,10 @@ class SpmmTuner:
                 indent=2,
             )
         os.replace(tmp, disk)
+        try:  # the race completed; the resume sidecar is now redundant
+            os.unlink(partial)
+        except OSError:
+            pass
         if verbose:
             print(
                 f"voltrix_tpu tune: best for {signature}: "
