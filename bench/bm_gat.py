@@ -45,7 +45,14 @@ def main(args):
     a = graph_gen.load(args.graph)
     n = a.shape[0]
     name = os.path.basename(args.graph).split(".")[0]
-    cfg = PlanConfig(args.block_h, 128, block_unroll=args.unroll)
+    # seg=1 is the flash default on purpose: attention gathers (k || v)
+    # super-rows, so at dk+dv >= 256 lanes the fetch is already past the
+    # per-row-cost knee where seg-coverage stops paying (gather law,
+    # docs/DESIGN.md); --seg exposes the lever for measurement anyway
+    cfg = PlanConfig(
+        args.block_h, 128,
+        gather_segment=args.seg, block_unroll=args.unroll,
+    )
 
     if args.method == "flash":
         graph = csr_preprocess(a.indptr, a.indices, n, cfg).device()
@@ -89,21 +96,24 @@ def main(args):
                 step, x, params, graph, iters=args.iters, trials=2
             )
         except Exception as e:
-            print(f"[{label}] {name} d={d}: FAILED ({e})")
-            rows.append([name, label, d, float("nan")])
+            # persist the failure REASON, not just nan — committed nan
+            # cells were undiagnosable after the fact (ADVICE r3)
+            err = f"{type(e).__name__}: {e}"
+            print(f"[{label}] {name} d={d}: FAILED ({err})")
+            rows.append([name, label, d, float("nan"), err[:240]])
             continue
         print(
             f"[{label}] {name} d={d} hidden={args.hidden} "
             f"heads={args.heads}: {t:.3f} ms/{args.mode}"
         )
-        rows.append([name, label, d, round(t, 4)])
+        rows.append([name, label, d, round(t, 4), ""])
 
     if args.csv:
         exists = os.path.exists(args.csv)
         with open(args.csv, "a", newline="") as f:
             w = csv.writer(f)
             if not exists:
-                w.writerow(["dataset", "method", "featdim", "time_ms"])
+                w.writerow(["dataset", "method", "featdim", "time_ms", "error"])
             w.writerows(rows)
 
 
@@ -117,6 +127,7 @@ if __name__ == "__main__":
     p.add_argument("--heads", type=int, default=4)
     p.add_argument("--classes", type=int, default=32)
     p.add_argument("--block-h", type=int, default=128)
+    p.add_argument("--seg", type=int, default=1)
     p.add_argument("--unroll", type=int, default=4)
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--csv", default="")
