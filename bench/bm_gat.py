@@ -55,7 +55,21 @@ def main(args):
     )
 
     if args.method == "flash":
-        graph = csr_preprocess(a.indptr, a.indices, n, cfg).device()
+        plan = csr_preprocess(a.indptr, a.indices, n, cfg).device()
+        if args.no_split:
+            graph = plan  # per-lane fallback backward (segment-sum scatter)
+        else:
+            # split backward: dK/dV ride the transpose plan. The bench
+            # graphs are symmetrized, so A^T = A and the pair shares one
+            # device plan; asymmetric inputs get their own A^T plan.
+            at = a.T.tocsr()
+            if (a != at).nnz == 0:
+                graph = (plan, plan)
+            else:
+                graph = (
+                    plan,
+                    csr_preprocess(at.indptr, at.indices, n, cfg).device(),
+                )
         fwd, loss_fn = gat_flash_forward, gat_flash_loss
     elif args.method == "ell":
         graph = build_ell_graph(a.indptr, a.indices, n, cfg)
@@ -129,6 +143,10 @@ if __name__ == "__main__":
     p.add_argument("--block-h", type=int, default=128)
     p.add_argument("--seg", type=int, default=1)
     p.add_argument("--unroll", type=int, default=4)
+    p.add_argument(
+        "--no-split", action="store_true",
+        help="use the per-lane fallback backward (no transpose plan)",
+    )
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--csv", default="")
     args = p.parse_args()

@@ -235,3 +235,183 @@ def test_jit_and_vmap_free(rng):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
     )
+
+
+@pytest.mark.parametrize(
+    "cfg,cfg_t",
+    [
+        (PlanConfig(32, 128), PlanConfig(32, 128)),
+        (PlanConfig(128, 128, block_unroll=2), PlanConfig(64, 128)),
+        (
+            PlanConfig(256, 128, cluster_cols=True),
+            PlanConfig(128, 128, gather_segment=2),
+        ),
+    ],
+    ids=["h32", "mixed-unroll", "cluster-vs-seg2"],
+)
+@pytest.mark.parametrize("directed", [False, True], ids=["sym", "directed"])
+def test_split_backward_matches_dense(rng, cfg, cfg_t, directed):
+    """dQ/dK/dV from the transpose-plan split backward vs the dense
+    oracle, across mismatched plan/plan_t geometries and a directed
+    graph (plan_t genuinely different from plan)."""
+    n, dk, dv = 140, 12, 20
+    a = sp.random(n, n, density=0.05, format="csr", random_state=rng)
+    a.data[:] = 1.0
+    if not directed:
+        a = ((a + a.T) != 0).astype(np.float32).tocsr()
+    at = a.T.tocsr()
+    plan = csr_preprocess(a.indptr, a.indices, n, cfg)
+    plan_t = csr_preprocess(at.indptr, at.indices, n, cfg_t)
+    q, k, v = qkv(rng, n, dk, dv)
+    w = jnp.asarray(rng.standard_normal((n, dv)).astype(np.float32))
+    scale, slope = 1.0 / dk**0.5, 0.2
+
+    def loss_split(q, k, v):
+        out = spmm_attention_ad(
+            plan, q, k, v, plan_t=plan_t, scale=scale, negative_slope=slope
+        )
+        return jnp.sum(out * w)
+
+    def loss_dense(q, k, v):
+        return jnp.sum(dense_attn(a, q, k, v, scale, slope) * w)
+
+    got = jax.grad(loss_split, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for g, wv, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(wv), rtol=2e-3, atol=2e-4,
+            err_msg=f"d{name}",
+        )
+
+
+def test_split_backward_matches_fallback_with_empty_rows(rng):
+    """Split and per-lane backwards agree bit-for-bit in structure on a
+    graph with isolated rows/cols (empty windows on both sides), and
+    both jit with plans as traced arguments."""
+    n, dk, dv = 160, 8, 8
+    a = random_graph(rng, n=n, density=0.03, empty_tail=40)
+    at = a.T.tocsr()
+    plan = csr_preprocess(a.indptr, a.indices, n, PlanConfig(32, 128))
+    plan_t = csr_preprocess(at.indptr, at.indices, n, PlanConfig(32, 128))
+    q, k, v = qkv(rng, n, dk, dv)
+
+    def mk_loss(with_t):
+        def loss(q, k, v):
+            out = spmm_attention_ad(
+                plan, q, k, v,
+                plan_t=plan_t if with_t else None, negative_slope=0.2,
+            )
+            return jnp.sum(out**2)
+        return loss
+
+    got = jax.jit(jax.grad(mk_loss(True), argnums=(0, 1, 2)))(q, k, v)
+    want = jax.jit(jax.grad(mk_loss(False), argnums=(0, 1, 2)))(q, k, v)
+    for g, wv, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(wv), rtol=1e-4, atol=1e-5,
+            err_msg=f"d{name}",
+        )
+    # isolated tail rows get exact-zero grads in every plane
+    for g in got:
+        assert np.all(np.asarray(g)[n - 40 :] == 0.0)
+
+
+from voltrix_spmm_tpu.ops import spmm_attention_mh, spmm_attention_mh_ad
+
+
+def _qkv_mh(rng, heads, n, dk, dv):
+    return (
+        jnp.asarray(rng.standard_normal((heads, n, dk)).astype(np.float32)),
+        jnp.asarray(rng.standard_normal((heads, n, dk)).astype(np.float32)),
+        jnp.asarray(rng.standard_normal((heads, n, dv)).astype(np.float32)),
+    )
+
+
+@pytest.mark.parametrize(
+    "cfg",
+    [PlanConfig(32, 128), PlanConfig(128, 128, block_unroll=2)],
+    ids=["h32", "h128u2"],
+)
+def test_mh_forward_matches_per_head(rng, cfg):
+    a = random_graph(rng, n=200, density=0.04)
+    n, heads, dk, dv = 200, 3, 12, 20
+    plan = csr_preprocess(a.indptr, a.indices, n, cfg)
+    q, k, v = _qkv_mh(rng, heads, n, dk, dv)
+    got = spmm_attention_mh(plan, q, k, v, negative_slope=0.2)
+    assert got.shape == (heads, n, dv)
+    for h in range(heads):
+        want = spmm_attention(
+            plan, q[h], k[h], v[h], negative_slope=0.2
+        )
+        np.testing.assert_allclose(
+            np.asarray(got[h]), np.asarray(want), rtol=1e-5, atol=1e-6,
+            err_msg=f"head {h}",
+        )
+
+
+def test_mh_forward_stats_and_empty_windows(rng):
+    a = random_graph(rng, n=180, density=0.03, empty_tail=50)
+    n, heads = 180, 2
+    plan = csr_preprocess(a.indptr, a.indices, n, PlanConfig(32, 128))
+    q, k, v = _qkv_mh(rng, heads, n, 8, 8)
+    got, lse = spmm_attention_mh(
+        plan, q, k, v, scale=0.5, return_stats=True
+    )
+    for h in range(heads):
+        want, lse_h = spmm_attention(
+            plan, q[h], k[h], v[h], scale=0.5, return_stats=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(got[h]), np.asarray(want), rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(lse[h]), np.asarray(lse_h), rtol=1e-5, atol=1e-5
+        )
+    assert np.all(np.asarray(got)[:, n - 50 :] == 0.0)
+
+
+@pytest.mark.parametrize("directed", [False, True], ids=["sym", "directed"])
+def test_mh_grad_matches_dense(rng, directed):
+    n, heads, dk, dv = 150, 3, 12, 20
+    a = sp.random(n, n, density=0.05, format="csr", random_state=rng)
+    a.data[:] = 1.0
+    if not directed:
+        a = ((a + a.T) != 0).astype(np.float32).tocsr()
+    at = a.T.tocsr()
+    plan = csr_preprocess(a.indptr, a.indices, n, PlanConfig(32, 128))
+    plan_t = csr_preprocess(
+        at.indptr, at.indices, n, PlanConfig(64, 128, block_unroll=2)
+    )
+    q, k, v = _qkv_mh(rng, heads, n, dk, dv)
+    w = jnp.asarray(
+        rng.standard_normal((heads, n, dv)).astype(np.float32)
+    )
+    scale, slope = 1.0 / dk**0.5, 0.2
+
+    def loss_mh(q, k, v):
+        out = spmm_attention_mh_ad(
+            plan, q, k, v, plan_t=plan_t, scale=scale, negative_slope=slope
+        )
+        return jnp.sum(out * w)
+
+    def loss_dense(q, k, v):
+        return sum(
+            jnp.sum(dense_attn(a, q[h], k[h], v[h], scale, slope) * w[h])
+            for h in range(heads)
+        )
+
+    got = jax.jit(jax.grad(loss_mh, argnums=(0, 1, 2)))(q, k, v)
+    want = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for g, wv, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(wv), rtol=2e-3, atol=2e-4,
+            err_msg=f"d{name}",
+        )
+
+
+def test_mh_requires_plan_t(rng):
+    a = random_graph(rng, n=64)
+    plan = csr_preprocess(a.indptr, a.indices, 64, PlanConfig(32, 128))
+    q, k, v = _qkv_mh(rng, 2, 64, 8, 8)
+    with pytest.raises(ValueError, match="plan_t"):
+        spmm_attention_mh_ad(plan, q, k, v, plan_t=None)

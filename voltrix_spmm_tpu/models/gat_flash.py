@@ -37,15 +37,30 @@ def flash_attention_aggregate(
     k: jax.Array,
     v: jax.Array,
     *,
+    plan_t: SpmmPlan | None = None,
     negative_slope: float = 0.2,
     scale: float | None = None,
 ) -> jax.Array:
     """One attention head, fused: out_u = sum_v alpha_uv v_v with
     alpha = softmax_v(leaky_relu(scale q_u . k_v)) over u's in-neighbors.
-    Differentiable in q/k/v (flash-style recompute backward)."""
+    Differentiable in q/k/v (flash-style recompute backward; pass the
+    transpose plan to route dK/dV through the scatter-free split
+    backward)."""
     return spmm_attention_ad(
-        plan, q, k, v, scale=scale, negative_slope=negative_slope
+        plan, q, k, v, plan_t=plan_t, scale=scale,
+        negative_slope=negative_slope,
     )
+
+
+def _plan_pair(g):
+    """(plan, plan_t) from a GraphData, a (plan, plan_t) tuple, or a
+    bare plan (plan_t=None -> self-contained fallback backward)."""
+    if isinstance(g, SpmmPlan):
+        return g, None
+    if isinstance(g, (tuple, list)):
+        plan, plan_t = g
+        return plan, plan_t
+    return g.plan, g.plan_t
 
 
 def init_gat_flash(
@@ -66,19 +81,42 @@ def init_gat_flash(
     )
 
 
-def gat_flash_forward(params, plan: SpmmPlan, x: jax.Array) -> jax.Array:
-    heads = [
-        flash_attention_aggregate(
-            plan,
-            x @ params["wq1"][h],
-            x @ params["wk1"][h],
-            x @ params["wv1"][h],
+def gat_flash_forward(params, g, x: jax.Array) -> jax.Array:
+    """2-layer flash GAT forward. `g` is a `GraphData` or a
+    (plan, plan_t) pair — layer 1 then runs ALL heads through the
+    batched multi-head op (`ops.spmm_attention_mh_ad`: one gather + one
+    launch per direction, scatter-free split backward). A bare
+    `SpmmPlan` falls back to per-head calls with the self-contained
+    per-lane backward."""
+    plan, plan_t = _plan_pair(g)
+    nh = params["wq1"].shape[0]
+    if plan_t is not None:
+        from ..ops.attention_mh import spmm_attention_mh_ad
+
+        q = jnp.einsum("nd,hdk->hnk", x, params["wq1"])
+        k = jnp.einsum("nd,hdk->hnk", x, params["wk1"])
+        v = jnp.einsum("nd,hdk->hnk", x, params["wv1"])
+        heads = spmm_attention_mh_ad(
+            plan, q, k, v, plan_t=plan_t, negative_slope=0.2
+        )  # (H, n, dv)
+        h = jax.nn.elu(
+            jnp.transpose(heads, (1, 0, 2)).reshape(x.shape[0], -1)
         )
-        for h in range(params["wq1"].shape[0])
-    ]
-    h = jax.nn.elu(jnp.concatenate(heads, axis=1))
+    else:
+        heads = [
+            flash_attention_aggregate(
+                plan,
+                x @ params["wq1"][hh],
+                x @ params["wk1"][hh],
+                x @ params["wv1"][hh],
+                plan_t=plan_t,
+            )
+            for hh in range(nh)
+        ]
+        h = jax.nn.elu(jnp.concatenate(heads, axis=1))
     return flash_attention_aggregate(
-        plan, h @ params["wq2"], h @ params["wk2"], h @ params["wv2"]
+        plan, h @ params["wq2"], h @ params["wk2"], h @ params["wv2"],
+        plan_t=plan_t,
     )
 
 

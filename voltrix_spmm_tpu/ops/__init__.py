@@ -20,6 +20,7 @@ from .ell import (
     spmm_ell_streamed,
 )
 from .attention import spmm_attention, spmm_attention_ad
+from .attention_mh import spmm_attention_mh, spmm_attention_mh_ad
 
 
 def spmm_streamed(plan, feat, *, num_chunks: int = 8, subtile=False, **kwargs):
@@ -119,6 +120,8 @@ __all__ = [
     "spmm_ad",
     "spmm_attention",
     "spmm_attention_ad",
+    "spmm_attention_mh",
+    "spmm_attention_mh_ad",
     "spmm_pallas",
     "spmm_pallas_fused",
     "spmm_pallas_int8",

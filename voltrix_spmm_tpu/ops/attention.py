@@ -427,6 +427,360 @@ def _attn_bwd_kernel(
     )
 
 
+def _attn_bwd_dq_kernel(
+    wob_ref,  # scalar-prefetch int32 (num_groups,)
+    bitmask_ref,  # (unroll, words, K) uint32
+    q_ref,  # (block_h, dk_pad)
+    kvg_ref,  # (UK, dk_pad + dv_pad) combined gathered (k || v)
+    do_ref,  # (block_h, dv_pad) upstream grad
+    stats_ref,  # (block_h, 128): col 0 = lse, col 1 = D = rowsum(dO o O)
+    dq_ref,  # out (block_h, dk_pad), revisited per window
+    *,
+    block_h: int,
+    dk_pad: int,
+    scale: float,
+    negative_slope: float,
+    compute_dtype,
+    precision,
+    unroll: int,
+):
+    """dQ half of the split flash backward: same window walk as the
+    forward, no per-lane outputs (dK/dV come from the transpose-plan
+    kernel below)."""
+    b = pl.program_id(0)
+    w = wob_ref[b]
+    is_first = jnp.logical_or(b == 0, wob_ref[jnp.maximum(b - 1, 0)] != w)
+
+    @pl.when(is_first)
+    def _():
+        dq_ref[...] = jnp.zeros_like(dq_ref)
+
+    mask_f = jnp.concatenate(
+        [
+            expand_bitmask(bitmask_ref[u], block_h, jnp.float32)
+            for u in range(unroll)
+        ],
+        axis=1,
+    )
+    q = q_ref[...].astype(compute_dtype)
+    kg = kvg_ref[:, :dk_pad].astype(compute_dtype)
+    vg = kvg_ref[:, dk_pad:]
+    do = do_ref[...]
+
+    s_m, raw = _score_tile(
+        q, kg, mask_f,
+        scale=scale, negative_slope=negative_slope, precision=precision,
+    )
+    lse = stats_ref[:, 0:1]
+    d_row = stats_ref[:, 1:2]
+    p = jnp.exp(s_m - lse) * mask_f
+
+    dp = jax.lax.dot_general(
+        do.astype(compute_dtype),
+        vg.astype(compute_dtype),
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    ds = p * (dp - d_row)
+    if negative_slope != 1.0:
+        ds = ds * jnp.where(raw > 0, 1.0, negative_slope)
+    draw = (ds * scale).astype(compute_dtype)
+    dq_ref[...] += jnp.dot(
+        draw, kg, preferred_element_type=jnp.float32, precision=precision
+    )
+
+
+def _attn_bwd_dkv_kernel(
+    wob_ref,  # scalar-prefetch int32 (num_groups_T,) — TRANSPOSE plan
+    bitmask_ref,  # (unroll_t, words_t, K) uint32 — bit (s, r): edge r->s
+    kv_ref,  # (block_h_t, dk_pad + dv_pad) window's OWN k||v rows
+    qds_ref,  # (UK, dk_pad + dv_pad + 128) gathered dst lanes:
+    #           q_r || dO_r || stats_r (col 0 lse, col 1 D)
+    dk_ref,  # out (block_h_t, dk_pad), revisited per window
+    dv_ref,  # out (block_h_t, dv_pad), revisited per window
+    *,
+    block_h: int,
+    dk_pad: int,
+    dv_pad: int,
+    scale: float,
+    negative_slope: float,
+    compute_dtype,
+    precision,
+    unroll: int,
+):
+    """dK/dV half over the transpose plan: each window owns block_h
+    SOURCE rows; lanes are the destination rows that attend to them.
+    Rebuilding p[s, r] = exp(act(scale k_s . q_r) - lse_r) per tile makes
+    dK/dV a pair of MXU products accumulated straight into the window's
+    own output rows — the scatter the per-lane formulation needed
+    (segment_sum over 2.35 M lanes = 353 ms at rmat-17 h128) never
+    exists."""
+    b = pl.program_id(0)
+    w = wob_ref[b]
+    is_first = jnp.logical_or(b == 0, wob_ref[jnp.maximum(b - 1, 0)] != w)
+
+    @pl.when(is_first)
+    def _():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+
+    mask_f = jnp.concatenate(
+        [
+            expand_bitmask(bitmask_ref[u], block_h, jnp.float32)
+            for u in range(unroll)
+        ],
+        axis=1,
+    )  # (block_h_t, UK)
+    kwin = kv_ref[:, :dk_pad].astype(compute_dtype)
+    vwin = kv_ref[:, dk_pad:]
+    qg = qds_ref[:, :dk_pad].astype(compute_dtype)
+    dog = qds_ref[:, dk_pad : dk_pad + dv_pad]
+    lse_lane = qds_ref[:, dk_pad + dv_pad]  # (UK,)
+    d_lane = qds_ref[:, dk_pad + dv_pad + 1]  # (UK,)
+
+    # raw[s, r] = k_s . q_r — the same raw value the forward computed as
+    # q_r . k_s, so act/slope gating is identical
+    s_m, raw = _score_tile(
+        kwin, qg, mask_f,
+        scale=scale, negative_slope=negative_slope, precision=precision,
+    )
+    p = jnp.exp(s_m - lse_lane[None, :]) * mask_f
+
+    # dV[s] += sum_r p[s, r] dO_r
+    dv_ref[...] += jnp.dot(
+        p.astype(compute_dtype),
+        dog.astype(compute_dtype),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+
+    # dS[s, r] = p (dP - D_r);  dP[s, r] = v_s . dO_r
+    dp = jax.lax.dot_general(
+        vwin.astype(compute_dtype),
+        dog.astype(compute_dtype),
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    ds = p * (dp - d_lane[None, :])
+    if negative_slope != 1.0:
+        ds = ds * jnp.where(raw > 0, 1.0, negative_slope)
+    draw = (ds * scale).astype(compute_dtype)
+    # dK[s] += sum_r draw[s, r] q_r
+    dk_ref[...] += jnp.dot(
+        draw, qg, preferred_element_type=jnp.float32, precision=precision
+    )
+
+
+def _attn_bwd_split(
+    plan: SpmmPlan,
+    plan_t: SpmmPlan,
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    out: jax.Array,
+    lse: jax.Array,
+    g: jax.Array,
+    *,
+    scale: float,
+    negative_slope: float,
+    compute_dtype=jnp.float32,
+    precision=None,
+    interpret: bool | None = None,
+):
+    """Flash backward split over the (plan, plan^T) pair.
+
+    dQ rides the forward plan's window walk; dK/dV ride the transpose
+    plan so every gradient row is OWNED by exactly one window and
+    accumulates via output revisiting — no per-lane gradient planes and
+    no O(lanes) segment-sum scatter (the cost that dominated the
+    per-lane formulation: 353 ms of 478 ms at rmat-17 h128 d64)."""
+    nq, dk = q.shape
+    nk, _ = k.shape
+    dv = v.shape[1]
+    if interpret is None:
+        interpret = _interpret_default()
+
+    cfg = plan.config
+    block_h, block_w, words = cfg.block_h, cfg.block_w, cfg.words_per_col
+    dk_pad = _round_up(dk, 128)
+    dv_pad = _round_up(dv, 128)
+
+    qf = jnp.pad(
+        q.astype(jnp.float32),
+        ((0, plan.padded_nodes - nq), (0, dk_pad - dk)),
+    )
+    kf = jnp.pad(k.astype(jnp.float32), ((0, 0), (0, dk_pad - dk)))
+    vf = jnp.pad(v.astype(jnp.float32), ((0, 0), (0, dv_pad - dv)))
+    do = jnp.pad(
+        g.astype(jnp.float32),
+        ((0, plan.padded_nodes - nq), (0, dv_pad - dv)),
+    )
+    of = jnp.pad(
+        out.astype(jnp.float32),
+        ((0, plan.padded_nodes - nq), (0, dv_pad - dv)),
+    )
+    # per-dst-row scalars the probability rebuild needs: D = rowsum(dO o O)
+    # next to the forward lse, packed into one 128-lane block (col 0 =
+    # lse, col 1 = D) so both kernels read them as one tile
+    d_row = jnp.sum(do * of, axis=1)
+    stats = jnp.concatenate(
+        [
+            lse.astype(jnp.float32)[:, None],
+            d_row[:, None],
+            jnp.zeros((plan.padded_nodes, 126), jnp.float32),
+        ],
+        axis=1,
+    )
+
+    # ---- dQ over the forward plan ----
+    kvg = _gather_rows(
+        plan, jnp.concatenate([kf, vf], axis=1), dk_pad + dv_pad
+    )
+    unroll = cfg.block_unroll
+    num_groups = plan.total_blocks // unroll
+    uk = unroll * block_w
+    dq_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_groups,),
+        in_specs=[
+            pl.BlockSpec((unroll, words, block_w), lambda b, wob: (b, 0, 0)),
+            pl.BlockSpec((block_h, dk_pad), lambda b, wob: (wob[b], 0)),
+            pl.BlockSpec((uk, dk_pad + dv_pad), lambda b, wob: (b, 0)),
+            pl.BlockSpec((block_h, dv_pad), lambda b, wob: (wob[b], 0)),
+            pl.BlockSpec((block_h, 128), lambda b, wob: (wob[b], 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_h, dk_pad), lambda b, wob: (wob[b], 0)),
+        ],
+    )
+    dq_kernel = functools.partial(
+        _attn_bwd_dq_kernel,
+        block_h=block_h,
+        dk_pad=dk_pad,
+        scale=float(scale),
+        negative_slope=float(negative_slope),
+        compute_dtype=compute_dtype,
+        precision=precision,
+        unroll=unroll,
+    )
+    (dq_pad,) = pl.pallas_call(
+        dq_kernel,
+        grid_spec=dq_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((plan.padded_nodes, dk_pad), jnp.float32)
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * plan.total_blocks * block_h * block_w
+            * (dk_pad + dv_pad),
+            bytes_accessed=kvg.size * 4
+            + plan.total_blocks * words * block_w * 4
+            + plan.padded_nodes * (2 * dk_pad + dv_pad + 128) * 4,
+            transcendentals=plan.total_blocks * block_h * block_w,
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(plan.window_of_block)[::unroll],
+        jnp.asarray(plan.bitmask),
+        qf,
+        kvg,
+        do,
+        stats,
+    )
+    if plan.has_empty_windows:
+        bpw = jnp.diff(jnp.asarray(plan.block_ptr))
+        nonempty = jnp.repeat(
+            bpw > 0, block_h, total_repeat_length=plan.padded_nodes
+        )
+        dq_pad = jnp.where(nonempty[:, None], dq_pad, 0.0)
+
+    # ---- dK/dV over the transpose plan ----
+    cfg_t = plan_t.config
+    bh_t, bw_t, words_t = cfg_t.block_h, cfg_t.block_w, cfg_t.words_per_col
+    assert plan_t.source_rows == plan.num_nodes, (
+        "plan_t must be the transpose of plan (its columns are plan's rows)"
+    )
+    assert plan_t.num_nodes == plan.source_rows, (
+        plan_t.num_nodes, plan.source_rows,
+    )
+    kvw = jnp.concatenate([kf, vf], axis=1)
+    if plan_t.padded_nodes != nk:
+        kvw = jnp.pad(kvw, ((0, plan_t.padded_nodes - nk), (0, 0)))
+    # one gathered plane per dst lane: q || dO || (lse, D)
+    qds = jnp.concatenate([qf, do, stats], axis=1)
+    qds_g = _gather_rows(plan_t, qds, dk_pad + dv_pad + 128)
+    unroll_t = cfg_t.block_unroll
+    num_groups_t = plan_t.total_blocks // unroll_t
+    uk_t = unroll_t * bw_t
+    dkv_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_groups_t,),
+        in_specs=[
+            pl.BlockSpec(
+                (unroll_t, words_t, bw_t), lambda b, wob: (b, 0, 0)
+            ),
+            pl.BlockSpec((bh_t, dk_pad + dv_pad), lambda b, wob: (wob[b], 0)),
+            pl.BlockSpec((uk_t, dk_pad + dv_pad + 128), lambda b, wob: (b, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((bh_t, dk_pad), lambda b, wob: (wob[b], 0)),
+            pl.BlockSpec((bh_t, dv_pad), lambda b, wob: (wob[b], 0)),
+        ],
+    )
+    dkv_kernel = functools.partial(
+        _attn_bwd_dkv_kernel,
+        block_h=bh_t,
+        dk_pad=dk_pad,
+        dv_pad=dv_pad,
+        scale=float(scale),
+        negative_slope=float(negative_slope),
+        compute_dtype=compute_dtype,
+        precision=precision,
+        unroll=unroll_t,
+    )
+    dk_pad_arr, dv_pad_arr = pl.pallas_call(
+        dkv_kernel,
+        grid_spec=dkv_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((plan_t.padded_nodes, dk_pad), jnp.float32),
+            jax.ShapeDtypeStruct((plan_t.padded_nodes, dv_pad), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * plan_t.total_blocks * bh_t * bw_t * (dk_pad + dv_pad),
+            bytes_accessed=qds_g.size * 4
+            + plan_t.total_blocks * words_t * bw_t * 4
+            + plan_t.padded_nodes * 2 * (dk_pad + dv_pad) * 4,
+            transcendentals=plan_t.total_blocks * bh_t * bw_t,
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(plan_t.window_of_block)[::unroll_t],
+        jnp.asarray(plan_t.bitmask),
+        kvw,
+        qds_g,
+    )
+    if plan_t.has_empty_windows:
+        bpw_t = jnp.diff(jnp.asarray(plan_t.block_ptr))
+        nonempty_t = jnp.repeat(
+            bpw_t > 0, bh_t, total_repeat_length=plan_t.padded_nodes
+        )
+        dk_pad_arr = jnp.where(nonempty_t[:, None], dk_pad_arr, 0.0)
+        dv_pad_arr = jnp.where(nonempty_t[:, None], dv_pad_arr, 0.0)
+
+    return (
+        dq_pad[:nq, :dk].astype(q.dtype),
+        dk_pad_arr[:nk, :dk].astype(k.dtype),
+        dv_pad_arr[:nk, :dv].astype(v.dtype),
+    )
+
+
 def _attn_bwd(
     plan: SpmmPlan,
     q: jax.Array,
@@ -570,10 +924,11 @@ def _attn_bwd(
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7)
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8)
 )
 def _spmm_attention_ad(
-    plan: SpmmPlan, q, k, v, scale, negative_slope, compute_dtype, precision
+    plan: SpmmPlan, plan_t, q, k, v, scale, negative_slope, compute_dtype,
+    precision,
 ):
     return spmm_attention(
         plan, q, k, v,
@@ -582,8 +937,8 @@ def _spmm_attention_ad(
     )
 
 
-def _attn_ad_fwd(plan, q, k, v, scale, negative_slope, compute_dtype,
-                 precision):
+def _attn_ad_fwd(plan, plan_t, q, k, v, scale, negative_slope,
+                 compute_dtype, precision):
     if scale is None:
         scale = 1.0 / float(q.shape[1]) ** 0.5
     out, lse = spmm_attention(
@@ -592,22 +947,30 @@ def _attn_ad_fwd(plan, q, k, v, scale, negative_slope, compute_dtype,
         compute_dtype=compute_dtype, precision=precision,
         return_stats=True,
     )
-    return out, (plan, q, k, v, out, lse)
+    return out, (plan, plan_t, q, k, v, out, lse)
 
 
 def _attn_ad_bwd(scale, negative_slope, compute_dtype, precision, res, g):
-    plan, q, k, v, out, lse = res
+    plan, plan_t, q, k, v, out, lse = res
     if scale is None:
         scale = 1.0 / float(q.shape[1]) ** 0.5
-    dq, dk, dv = _attn_bwd(
-        plan, q, k, v, out, lse, g,
-        scale=scale, negative_slope=negative_slope,
-        compute_dtype=compute_dtype, precision=precision,
-    )
+    if plan_t is not None:
+        dq, dk, dv = _attn_bwd_split(
+            plan, plan_t, q, k, v, out, lse, g,
+            scale=scale, negative_slope=negative_slope,
+            compute_dtype=compute_dtype, precision=precision,
+        )
+    else:
+        dq, dk, dv = _attn_bwd(
+            plan, q, k, v, out, lse, g,
+            scale=scale, negative_slope=negative_slope,
+            compute_dtype=compute_dtype, precision=precision,
+        )
     from .autodiff import _zero_cotangent
 
     dplan = jax.tree.map(_zero_cotangent, plan)
-    return (dplan, dq, dk, dv)
+    dplan_t = jax.tree.map(_zero_cotangent, plan_t)
+    return (dplan, dplan_t, dq, dk, dv)
 
 
 _spmm_attention_ad.defvjp(_attn_ad_fwd, _attn_ad_bwd)
@@ -619,6 +982,7 @@ def spmm_attention_ad(
     k,
     v,
     *,
+    plan_t: SpmmPlan | None = None,
     scale: float | None = None,
     negative_slope: float = 1.0,
     compute_dtype=jnp.float32,
@@ -628,10 +992,21 @@ def spmm_attention_ad(
 
     Exactly `spmm_attention(plan, q, k, v, ...)` with a flash-style
     recompute backward: residuals are (out, lse) — O(n) rows — never a
-    per-edge attention vector. See `models.gat_flash` for the model
-    wiring and `tests/test_attention.py` for dense-oracle grad parity.
-    (Keyword wrapper: `jax.custom_vjp` requires positional args.)
+    per-edge attention vector.
+
+    plan_t: the transpose plan (``csr_preprocess`` of A^T, e.g.
+    ``GraphData.plan_t``). When given, dK/dV come from a kernel walking
+    the TRANSPOSE plan's windows (each source row owned by one window,
+    output-revisiting accumulation) instead of per-lane gradient planes
+    + an O(lanes) segment-sum scatter — the scatter was 353 ms of the
+    478 ms rmat-17 d64 GAT step. Pass it whenever the model already has
+    the reversed adjacency; omit for the self-contained fallback.
+
+    See `models.gat_flash` for the model wiring and
+    `tests/test_attention.py` for dense-oracle grad parity. (Keyword
+    wrapper: `jax.custom_vjp` requires positional args.)
     """
     return _spmm_attention_ad(
-        plan, q, k, v, scale, negative_slope, compute_dtype, precision
+        plan, plan_t, q, k, v, scale, negative_slope, compute_dtype,
+        precision,
     )
