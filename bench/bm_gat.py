@@ -54,7 +54,30 @@ def main(args):
         gather_segment=args.seg, block_unroll=args.unroll,
     )
 
-    if args.method == "flash":
+    if args.method == "flash" and args.tune:
+        # measured-race geometry + plane dtype (tuner/attention.py); the
+        # bench graphs are symmetrized so the forward plan doubles as
+        # the transpose plan inside the tuner (at_indptr=None)
+        from voltrix_spmm_tpu.tuner import tune_attention
+
+        tuned = tune_attention(
+            a.indptr, a.indices, n,
+            heads=args.heads, dk=args.hidden, dv=args.hidden,
+            mode="train" if args.mode == "train" else "fwd",
+            hash_tag=f"{name}-gat",
+        )
+        print(f"[tune_attention] winner: {tuned.variant.key()} "
+              f"({tuned.time_ms:.3f} ms) candidates: {tuned.candidates}")
+        import jax.numpy as _jnp
+
+        pdt = (
+            _jnp.dtype(tuned.variant.plane_dtype)
+            if tuned.variant.plane_dtype
+            else _jnp.float32
+        )
+        graph = (tuned.plan, tuned.plan_t, pdt)
+        fwd, loss_fn = gat_flash_forward, gat_flash_loss
+    elif args.method == "flash":
         plan = csr_preprocess(a.indptr, a.indices, n, cfg).device()
         if args.no_split:
             graph = plan  # per-lane fallback backward (segment-sum scatter)
@@ -104,7 +127,9 @@ def main(args):
                     jnp.sum(l) for l in jax.tree.leaves(new_p)
                 )
 
-        label = f"GAT-{args.mode}-{args.method}"
+        label = f"GAT-{args.mode}-{args.method}" + (
+            "-tuned" if args.tune else ""
+        )
         try:
             t = device_loop_bench(
                 step, x, params, graph, iters=args.iters, trials=2
@@ -146,6 +171,11 @@ if __name__ == "__main__":
     p.add_argument(
         "--no-split", action="store_true",
         help="use the per-lane fallback backward (no transpose plan)",
+    )
+    p.add_argument(
+        "--tune", action="store_true",
+        help="race attention variants first (tuner/attention.py) and "
+        "bench the measured winner; label gains a '-tuned' suffix",
     )
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--csv", default="")

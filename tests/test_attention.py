@@ -415,3 +415,56 @@ def test_mh_requires_plan_t(rng):
     q, k, v = _qkv_mh(rng, 2, 64, 8, 8)
     with pytest.raises(ValueError, match="plan_t"):
         spmm_attention_mh_ad(plan, q, k, v, plan_t=None)
+
+
+def test_mh_bf16_planes_match_f32(rng):
+    """bf16 gathered planes: on inputs pre-rounded to bf16 (so both
+    paths see identical plane values and the only machinery difference
+    is the hi/lo-split softmax statistics), bf16 and f32 planes agree
+    tightly in forward AND gradients. On UNROUNDED inputs the remaining
+    gap is the bf16 rounding of the plane itself — the accuracy class
+    the MXU's default matmul precision already imposes on device —
+    checked loosely on the forward."""
+    n, heads, dk, dv = 150, 3, 12, 20
+    a = random_graph(rng, n=n, density=0.05)
+    at = a.T.tocsr()
+    plan = csr_preprocess(a.indptr, a.indices, n, PlanConfig(32, 128))
+    plan_t = csr_preprocess(at.indptr, at.indices, n, PlanConfig(32, 128))
+    q, k, v = _qkv_mh(rng, heads, n, dk, dv)
+    w = jnp.asarray(rng.standard_normal((heads, n, dv)).astype(np.float32))
+
+    def mk_loss(pdt, w):
+        def loss(q, k, v):
+            out = spmm_attention_mh_ad(
+                plan, q, k, v, plan_t=plan_t, negative_slope=0.2,
+                plane_dtype=pdt,
+            )
+            return jnp.sum(out * w), out
+        return loss
+
+    rd = lambda x: x.astype(jnp.bfloat16).astype(jnp.float32)
+    qr, kr, vr, wr = rd(q), rd(k), rd(v), rd(w)
+    (_, out16), g16 = jax.value_and_grad(
+        mk_loss(jnp.bfloat16, wr), argnums=(0, 1, 2), has_aux=True
+    )(qr, kr, vr)
+    (_, out32), g32 = jax.value_and_grad(
+        mk_loss(None, wr), argnums=(0, 1, 2), has_aux=True
+    )(qr, kr, vr)
+    np.testing.assert_allclose(
+        np.asarray(out16), np.asarray(out32), rtol=1e-4, atol=1e-5
+    )
+    for a16, a32, name in zip(g16, g32, "qkv"):
+        scale_ref = float(np.max(np.abs(np.asarray(a32)))) + 1e-30
+        err = float(np.max(np.abs(np.asarray(a16) - np.asarray(a32))))
+        assert err / scale_ref < 1e-3, f"d{name}: {err/scale_ref:.3e}"
+
+    # unrounded inputs: bf16-plane forward stays in the bf16 class
+    (_, out16u), _ = jax.value_and_grad(
+        mk_loss(jnp.bfloat16, w), argnums=(0,), has_aux=True
+    )(q, k, v)
+    (_, out32u), _ = jax.value_and_grad(
+        mk_loss(None, w), argnums=(0,), has_aux=True
+    )(q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(out16u), np.asarray(out32u), rtol=2e-2, atol=2e-2
+    )

@@ -446,3 +446,93 @@ def test_partial_race_resume(problem, tmp_path):
     assert not any(f.endswith(".partial") for f in os.listdir(tmp_path))
     out = np.asarray(t2(jnp.asarray(feat)))
     np.testing.assert_allclose(out, oracle, rtol=1e-5, atol=1e-4)
+
+
+# ---- attention tuner ----
+
+
+def attn_tiny_space():
+    from voltrix_spmm_tpu.tuner import AttnVariant
+
+    return [
+        AttnVariant(block_h=32, block_unroll=1),
+        AttnVariant(block_h=64, block_unroll=1),
+        AttnVariant(block_h=32, block_unroll=1, plane_dtype="bfloat16"),
+    ]
+
+
+@pytest.fixture
+def attn_problem(rng):
+    n = 192
+    a = sp.random(n, n, density=0.06, format="csr", random_state=rng)
+    at = a.T.tocsr()
+    return a, at
+
+
+def test_attention_tuned_correct(attn_problem, tmp_path, rng):
+    """The tuned callable matches the untuned mh op head-for-head, the
+    race keeps per-candidate times, and the winner is a real variant."""
+    from voltrix_spmm_tpu.ops.attention_mh import spmm_attention_mh_ad
+    from voltrix_spmm_tpu.tuner import AttentionTuner
+
+    a, at = attn_problem
+    n = a.shape[0]
+    tuner = AttentionTuner(cache_dir=str(tmp_path))
+    tuned = tuner.compile_and_tune(
+        a.indptr, a.indices, n,
+        at_indptr=at.indptr, at_indices=at.indices,
+        heads=2, dk=8, dv=12, mode="fwd", space=attn_tiny_space(),
+        iters=1,
+    )
+    assert tuned.time_ms > 0
+    assert len(tuned.candidates) == 3
+    q = jnp.asarray(rng.standard_normal((2, n, 8)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((2, n, 8)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((2, n, 12)).astype(np.float32))
+    got = np.asarray(tuned(q, k, v))
+    want = np.asarray(
+        spmm_attention_mh_ad(
+            tuned.plan, q, k, v, plan_t=tuned.plan_t, negative_slope=0.2,
+        )
+    )
+    # same op modulo the winner's plane dtype
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_attention_tuner_cache(attn_problem, tmp_path):
+    """Memory hit returns the same object; a fresh tuner materializes
+    the winner from disk without re-racing (candidate dict preserved)."""
+    from voltrix_spmm_tpu.tuner import AttentionTuner
+
+    a, at = attn_problem
+    n = a.shape[0]
+    t0 = AttentionTuner(cache_dir=str(tmp_path))
+    kw = dict(
+        at_indptr=at.indptr, at_indices=at.indices,
+        heads=2, dk=8, dv=12, mode="fwd", space=attn_tiny_space(), iters=1,
+    )
+    t1 = t0.compile_and_tune(a.indptr, a.indices, n, **kw)
+    assert t0.compile_and_tune(a.indptr, a.indices, n, **kw) is t1
+    entries = [f for f in os.listdir(tmp_path) if f.startswith("tune_attn.")]
+    assert len(entries) == 1
+    fresh = AttentionTuner(cache_dir=str(tmp_path))
+    t2 = fresh.compile_and_tune(a.indptr, a.indices, n, **kw)
+    assert t2.variant == t1.variant
+    assert set(t2.candidates) == set(t1.candidates)
+
+
+def test_attention_train_mode(attn_problem, tmp_path):
+    """mode='train' races value_and_grad through the op (fwd + dQ +
+    dK/dV kernels) and returns a usable winner."""
+    from voltrix_spmm_tpu.tuner import AttentionTuner, AttnVariant
+
+    a, at = attn_problem
+    n = a.shape[0]
+    tuner = AttentionTuner(cache_dir=str(tmp_path))
+    tuned = tuner.compile_and_tune(
+        a.indptr, a.indices, n,
+        at_indptr=at.indptr, at_indices=at.indices,
+        heads=2, dk=8, dv=8, mode="train",
+        space=[AttnVariant(block_h=32, block_unroll=1)], iters=1,
+    )
+    assert tuned.time_ms > 0 and np.isfinite(tuned.time_ms)

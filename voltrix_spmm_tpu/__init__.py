@@ -19,7 +19,7 @@ from . import project
 from . import serve
 from .format import csr_preprocess, SpmmPlan, PlanConfig
 from .ops import spmm, spmm_attention, spmm_attention_ad, spmm_reference
-from .tuner import tune_spmm, TunedSpmm, Variant
+from .tuner import tune_spmm, TunedSpmm, Variant, tune_attention, TunedAttention, AttnVariant
 from .utils import calc_diff, relative_error, TPU_bench, CPU_bench
 
 # Reference geometry constants (voltrix/spmm/spmm.py:12-13 uses 16x8 GPU
@@ -36,6 +36,9 @@ __all__ = [
     "spmm_attention",
     "spmm_attention_ad",
     "tune_spmm",
+    "tune_attention",
+    "TunedAttention",
+    "AttnVariant",
     "TunedSpmm",
     "Variant",
     "spmm_reference",

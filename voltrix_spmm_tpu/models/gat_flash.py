@@ -53,14 +53,19 @@ def flash_attention_aggregate(
 
 
 def _plan_pair(g):
-    """(plan, plan_t) from a GraphData, a (plan, plan_t) tuple, or a
-    bare plan (plan_t=None -> self-contained fallback backward)."""
+    """(plan, plan_t, plane_dtype) from a GraphData, a (plan, plan_t[,
+    plane_dtype]) tuple, or a bare plan (plan_t=None -> self-contained
+    fallback backward). plane_dtype None defers to the size heuristic
+    in the forward; jnp.float32 forces f32 planes; jnp.bfloat16 forces
+    the halved gather stream (e.g. from a `TunedAttention` winner)."""
     if isinstance(g, SpmmPlan):
-        return g, None
+        return g, None, None
     if isinstance(g, (tuple, list)):
+        if len(g) == 3:
+            return g[0], g[1], g[2]
         plan, plan_t = g
-        return plan, plan_t
-    return g.plan, g.plan_t
+        return plan, plan_t, None
+    return g.plan, g.plan_t, getattr(g, "plane_dtype", None)
 
 
 def init_gat_flash(
@@ -88,20 +93,46 @@ def gat_flash_forward(params, g, x: jax.Array) -> jax.Array:
     launch per direction, scatter-free split backward). A bare
     `SpmmPlan` falls back to per-head calls with the self-contained
     per-lane backward."""
-    plan, plan_t = _plan_pair(g)
+    plan, plan_t, pdt_override = _plan_pair(g)
     nh = params["wq1"].shape[0]
     if plan_t is not None:
         from ..ops.attention_mh import spmm_attention_mh_ad
 
+        # large scattered graphs stream the gathered q/k/v/dO planes in
+        # bf16 (same heuristic as GraphData.agg_dtype; accuracy class of
+        # the MXU's default bf16-rounding matmul — softmax stats keep
+        # f32 via hi/lo splitting inside the op); an explicit override
+        # (e.g. the tuner's measured winner) beats the heuristic
+        if pdt_override is None:
+            pdt = jnp.bfloat16 if x.shape[0] >= 65536 else None
+        else:
+            pdt = (
+                None
+                if jnp.dtype(pdt_override) == jnp.float32
+                else jnp.dtype(pdt_override)
+            )
         q = jnp.einsum("nd,hdk->hnk", x, params["wq1"])
         k = jnp.einsum("nd,hdk->hnk", x, params["wk1"])
         v = jnp.einsum("nd,hdk->hnk", x, params["wv1"])
         heads = spmm_attention_mh_ad(
-            plan, q, k, v, plan_t=plan_t, negative_slope=0.2
+            plan, q, k, v, plan_t=plan_t, negative_slope=0.2,
+            plane_dtype=pdt,
         )  # (H, n, dv)
         h = jax.nn.elu(
             jnp.transpose(heads, (1, 0, 2)).reshape(x.shape[0], -1)
         )
+        # layer 2 through the same op (H=1): the pair-packed bf16 plane
+        # beats the per-head f32 path even for one head
+        out = spmm_attention_mh_ad(
+            plan,
+            (h @ params["wq2"])[None],
+            (h @ params["wk2"])[None],
+            (h @ params["wv2"])[None],
+            plan_t=plan_t,
+            negative_slope=0.2,
+            plane_dtype=pdt,
+        )
+        return out[0]
     else:
         heads = [
             flash_attention_aggregate(

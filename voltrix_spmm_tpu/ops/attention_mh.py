@@ -5,23 +5,34 @@ direction. On v5e a row gather is per-ROW-ISSUE-bound below ~1.94 KB
 rows (gather law: max(rows/175M, bytes/340G), docs/DESIGN.md), so at
 GAT widths (dk = dv = 64..256) every call costs the same ~rows/175M
 floor no matter how thin the rows are — a 4-head training step makes
-~10 such calls and the floor dominates the step (measured: 15 x
-13.4 ms of gather floor inside the 249.5 ms rmat-17 d64 step).
+~10 such calls and the floor dominates the step (measured: the gather
+floor was the majority of the 249.5 ms rmat-17 d64 split-backward
+step). This module batches the heads:
 
-This module batches the heads:
+- ONE gather per (plan, direction) of a per-head-interleaved plane and
+  ONE kernel launch with the head as a leading grid dimension; each
+  grid step DMAs only its head's lane-aligned column slice.
 
-- ONE gather per (plan, direction) of a per-head-interleaved plane
-  ([k_1||v_1 ... k_H||v_H], lane-aligned 128-padded segments), and
-- ONE kernel launch with the head as a leading grid dimension; each
-  grid step DMAs only its head's lane-aligned column slice, so VMEM
-  pressure per step is identical to the per-head kernel.
+- PAIR PACKING: each head's segment is [k_h(dk) || v_h(dv)] padded to
+  round_up(dk+dv, 128) — one segment, not two separately 128-padded
+  planes. At d64 that halves every plane (256 -> 128 lanes/head). The
+  kernels separate the k/v (q/dO) zones with in-register iota masks
+  and exploit zero-block algebra: dot([q||0], [k||v]) = q.k, and
+  p @ [k||v] lands p@v at a known column offset that the host slices
+  out — polluted lanes fall in slices that are discarded.
 
-Width grows H-fold but stays at (d64, H4) under the per-row knee: the
-batched gather costs the SAME floor as one per-head call. The three
-kernels (fwd online-softmax, dQ over the forward plan, dK/dV over the
-transpose plan) are head-sliced versions of `ops.attention`'s; the
-backward REQUIRES the transpose plan (the per-lane scatter fallback
-stays per-head only).
+- plane_dtype=bfloat16 (opt-in) halves gathered bytes again. The MXU's
+  default matmul precision already rounds f32 inputs to bf16, so the
+  score/aggregation dots lose nothing; the softmax statistics (lse, D)
+  — which DO need f32 — travel as hi/lo bf16 pairs
+  (hi = bf16(x), lo = bf16(x - f32(hi)), reconstructed in-kernel as
+  f32(hi) + f32(lo), ~2^-16 relative error).
+
+The backward is the scatter-free split form over the (plan, plan^T)
+pair only (per-lane scatter fallback stays per-head in
+`ops.attention`). Measured rmat-17 d64 h128u4 train step: 478.5 ms
+(per-head, scatter bwd) -> 207.6 ms (padded mh) -> see bench/ CSVs for
+the packed/bf16 numbers.
 
 Reference role: none — the reference serves binary GCN/SAGE aggregation
 only (bmat_kernels.cuh:16-20); this is the TPU framework's own
@@ -47,31 +58,62 @@ from .pallas_spmm import (
 )
 
 
-def _interleave_heads(parts, n_rows):
-    """[(H, n, d_pad), ...] -> (n_rows, H * sum(d_pad)) with per-head
-    segments [p0_h || p1_h || ...] interleaved (lane-aligned slices)."""
-    cat = jnp.concatenate(parts, axis=2)  # (H, n, sum)
+def _interleave_pairs(parts, n_rows, seg_w, dtype=jnp.float32):
+    """[(H, n, d_i), ...] -> (n_rows, H * seg_w): per head, the parts
+    are packed back to back ([p0_h || p1_h || ...]) and zero-padded to
+    seg_w lanes; heads are interleaved so head h's segment is the
+    lane-aligned column block [h*seg_w, (h+1)*seg_w)."""
+    cat = jnp.concatenate(
+        [p.astype(jnp.float32) for p in parts], axis=2
+    )  # (H, n, sum d_i)
     h, n, w = cat.shape
-    if n != n_rows:
-        cat = jnp.pad(cat, ((0, 0), (0, n_rows - n), (0, 0)))
-    return jnp.transpose(cat, (1, 0, 2)).reshape(n_rows, h * w)
+    cat = jnp.pad(cat, ((0, 0), (0, n_rows - n), (0, seg_w - w)))
+    return (
+        jnp.transpose(cat, (1, 0, 2)).reshape(n_rows, h * seg_w)
+        .astype(dtype)
+    )
 
 
-def _pad_heads(x, d_pad):
-    """(H, n, d) -> (H, n, d_pad) f32."""
-    h, n, d = x.shape
-    return jnp.pad(x.astype(jnp.float32), ((0, 0), (0, 0), (0, d_pad - d)))
+def _split_heads(flat, n_rows, seg_w, lo, hi, nq):
+    """(n_rows, H*seg_w) -> (H, nq, hi-lo): undo _interleave_pairs and
+    slice each head's segment columns [lo, hi)."""
+    h = flat.shape[1] // seg_w
+    return (
+        flat.reshape(n_rows, h, seg_w)
+        .transpose(1, 0, 2)[:, :nq, lo:hi]
+    )
+
+
+def _zone_mask(shape, lo, hi):
+    """f32 (rows, lanes) mask selecting lane zone [lo, hi)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    return jnp.where((lane >= lo) & (lane < hi), 1.0, 0.0)
+
+
+def _split_hi_lo(x):
+    """f32 -> (bf16 hi, bf16 lo) with f32(hi) + f32(lo) ~= x to ~2^-16
+    relative — the two-term split that lets softmax statistics ride a
+    bf16 gather plane without losing the f32 accuracy they need."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _lane_select(tile_f32, idx):
+    """Sum-select lane `idx` (traced ok) of an f32 (rows, lanes) tile —
+    dynamic lane slicing is not a Mosaic primitive, a masked reduce is."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, tile_f32.shape, 1)
+    return jnp.sum(jnp.where(lane == idx, tile_f32, 0.0), axis=1)
 
 
 def _attn_fwd_mh_kernel(
     wob_ref,
     bitmask_ref,  # (unroll, words, K)
-    q_ref,  # (block_h, dk_pad) — head h's slice
-    kv_ref,  # (UK, dk_pad + dv_pad) — head h's gathered k||v slice
-    out_ref,  # (block_h, dv_pad)
+    q_ref,  # (block_h, pair_w) — head h's [q || 0] slice
+    kv_ref,  # (UK, pair_w) — head h's gathered [k || v] slice
+    out_ref,  # (block_h, pair_w); p@v lands at lanes [dk, dk+dv)
     *rest,  # [stats_ref] m_scr l_scr
     block_h: int,
-    dk_pad: int,
     with_stats: bool,
     scale: float,
     negative_slope: float,
@@ -103,10 +145,10 @@ def _attn_fwd_mh_kernel(
         axis=1,
     )
     q = q_ref[...].astype(compute_dtype)
-    kg = kv_ref[:, :dk_pad].astype(compute_dtype)
-    vg = kv_ref[:, dk_pad:]
+    kv = kv_ref[...].astype(compute_dtype)
+    # q's v-zone is zero, so the full-pair contraction IS q . k
     s_m, _ = _score_tile(
-        q, kg, mask_f,
+        q, kv, mask_f,
         scale=scale, negative_slope=negative_slope, precision=precision,
     )
     m_old = m_scr[:, 0:1]
@@ -114,9 +156,11 @@ def _attn_fwd_mh_kernel(
     corr = jnp.exp(m_old - m_new)
     p = jnp.exp(s_m - m_new) * mask_f
     l_new = l_scr[:, 0:1] * corr + jnp.sum(p, axis=1, keepdims=True)
+    # p @ [k || v]: the v-zone columns are the aggregation; the k-zone
+    # columns are pollution the host slice discards
     pv = jnp.dot(
         p.astype(compute_dtype),
-        vg.astype(compute_dtype),
+        kv,
         preferred_element_type=jnp.float32,
         precision=precision,
     )
@@ -135,6 +179,12 @@ def _attn_fwd_mh_kernel(
             stats_ref[...] = jnp.broadcast_to(lse, stats_ref.shape)
 
 
+def _plane_dtype_of(plane_dtype, *arrs):
+    if plane_dtype is None:
+        return jnp.float32
+    return jnp.dtype(plane_dtype)
+
+
 def spmm_attention_mh(
     plan: SpmmPlan,
     q: jax.Array,  # (H, nq, dk)
@@ -145,6 +195,7 @@ def spmm_attention_mh(
     negative_slope: float = 1.0,
     compute_dtype=jnp.float32,
     precision=None,
+    plane_dtype=None,
     return_stats: bool = False,
     interpret: bool | None = None,
     out_dtype=None,
@@ -152,10 +203,12 @@ def spmm_attention_mh(
     """All-head fused attention aggregation: per head h,
     out[h, r] = softmax_{l in N(r)}(act(scale q[h,r] . k[h,l])) @ v[h].
 
-    ONE gather + ONE kernel launch for every head (head = leading grid
-    dim). Returns (H, nq, dv) [+ lse (H, padded_nodes) when
-    return_stats]. Heads share scale/slope (same dk per head).
-    """
+    ONE pair-packed gather + ONE kernel launch for every head (head =
+    leading grid dim). plane_dtype=jnp.bfloat16 streams the gathered
+    plane in bf16 (accumulation stays f32; same accuracy class as the
+    MXU's default bf16-rounding matmul precision). Returns (H, nq, dv)
+    [+ lse (H, padded_nodes) when return_stats]. Heads share scale and
+    slope (same dk per head)."""
     assert q.ndim == k.ndim == v.ndim == 3, "mh op takes (H, n, d) stacks"
     H, nq, dk = q.shape
     _, nk, _ = k.shape
@@ -179,14 +232,13 @@ def spmm_attention_mh(
     cfg = plan.config
     block_h, block_w, words = cfg.block_h, cfg.block_w, cfg.words_per_col
     assert block_h % 32 == 0 and block_w % 128 == 0
-    dk_pad = _round_up(dk, 128)
-    dv_pad = _round_up(dv, 128)
+    pair_w = _round_up(dk + dv, 128)
+    pdt = _plane_dtype_of(plane_dtype)
+    itemsize = jnp.dtype(pdt).itemsize
 
-    qf = _interleave_heads([_pad_heads(q, dk_pad)], plan.padded_nodes)
-    kvf = _interleave_heads(
-        [_pad_heads(k, dk_pad), _pad_heads(v, dv_pad)], nk
-    )
-    kvg = _gather_rows(plan, kvf, H * (dk_pad + dv_pad))
+    qf = _interleave_pairs([q], plan.padded_nodes, pair_w)
+    kvf = _interleave_pairs([k, v], nk, pair_w, dtype=pdt)
+    kvg = _gather_rows(plan, kvf, H * pair_w)
 
     unroll = cfg.block_unroll
     num_groups = plan.total_blocks // unroll
@@ -194,14 +246,14 @@ def spmm_attention_mh(
 
     in_specs = [
         pl.BlockSpec((unroll, words, block_w), lambda h, b, wob: (b, 0, 0)),
-        pl.BlockSpec((block_h, dk_pad), lambda h, b, wob: (wob[b], h)),
-        pl.BlockSpec((uk, dk_pad + dv_pad), lambda h, b, wob: (b, h)),
+        pl.BlockSpec((block_h, pair_w), lambda h, b, wob: (wob[b], h)),
+        pl.BlockSpec((uk, pair_w), lambda h, b, wob: (b, h)),
     ]
     out_shapes = [
-        jax.ShapeDtypeStruct((plan.padded_nodes, H * dv_pad), jnp.float32)
+        jax.ShapeDtypeStruct((plan.padded_nodes, H * pair_w), jnp.float32)
     ]
     out_specs = [
-        pl.BlockSpec((block_h, dv_pad), lambda h, b, wob: (wob[b], h))
+        pl.BlockSpec((block_h, pair_w), lambda h, b, wob: (wob[b], h))
     ]
     if return_stats:
         out_shapes.append(
@@ -223,7 +275,6 @@ def spmm_attention_mh(
     kernel = functools.partial(
         _attn_fwd_mh_kernel,
         block_h=block_h,
-        dk_pad=dk_pad,
         with_stats=return_stats,
         scale=float(scale),
         negative_slope=float(negative_slope),
@@ -231,11 +282,11 @@ def spmm_attention_mh(
         precision=precision,
         unroll=unroll,
     )
-    flops = 2 * H * plan.total_blocks * block_h * block_w * (dk_pad + dv_pad)
+    flops = 4 * H * plan.total_blocks * block_h * block_w * pair_w
     bytes_accessed = (
-        kvg.size * 4
+        kvg.size * itemsize
         + H * plan.total_blocks * words * block_w * 4
-        + plan.padded_nodes * H * (dk_pad + dv_pad) * 4
+        + plan.padded_nodes * H * 2 * pair_w * 4
     )
     outs = pl.pallas_call(
         kernel,
@@ -260,11 +311,9 @@ def spmm_attention_mh(
             bpw > 0, block_h, total_repeat_length=plan.padded_nodes
         )
         out_flat = jnp.where(nonempty[:, None], out_flat, 0.0)
-    out = (
-        out_flat.reshape(plan.padded_nodes, H, dv_pad)
-        .transpose(1, 0, 2)[:, :nq, :dv]
-        .astype(out_dtype)
-    )
+    out = _split_heads(
+        out_flat, plan.padded_nodes, pair_w, dk, dk + dv, nq
+    ).astype(out_dtype)
     if return_stats:
         lse = outs[1].reshape(plan.padded_nodes, H, 128)[:, :, 0].T
         if plan.has_empty_windows:
@@ -276,14 +325,13 @@ def spmm_attention_mh(
 def _attn_bwd_dq_mh_kernel(
     wob_ref,
     bitmask_ref,
-    q_ref,  # (block_h, dk_pad) head slice
-    kv_ref,  # (UK, dk_pad + dv_pad) head slice of the fwd gather
-    do_ref,  # (block_h, dv_pad) head slice
-    stats_ref,  # (block_h, 128) head slice: col 0 lse, col 1 D
-    dq_ref,  # out (block_h, dk_pad) head slice, revisited
+    qdo_ref,  # (block_h, pair_w) head slice: [q || dO]
+    kv_ref,  # (UK, pair_w) head slice of the fwd gather: [k || v]
+    stats_ref,  # (block_h, 128) head slice: col 0 lse, col 1 D (f32)
+    dq_ref,  # out (block_h, pair_w); dq at lanes [0, dk)
     *,
     block_h: int,
-    dk_pad: int,
+    dk: int,
     scale: float,
     negative_slope: float,
     compute_dtype,
@@ -305,20 +353,23 @@ def _attn_bwd_dq_mh_kernel(
         ],
         axis=1,
     )
-    q = q_ref[...].astype(compute_dtype)
-    kg = kv_ref[:, :dk_pad].astype(compute_dtype)
-    vg = kv_ref[:, dk_pad:]
-    do = do_ref[...]
+    qdo = qdo_ref[...].astype(jnp.float32)
+    kv = kv_ref[...].astype(compute_dtype)
+    mk = _zone_mask(qdo.shape, 0, dk)
+    q_t = (qdo * mk).astype(compute_dtype)
+    do_t = (qdo * (1.0 - mk)).astype(compute_dtype)
+    # q-zone against [k || v]: q.k (dO-zone hits v with zero q lanes)
     s_m, raw = _score_tile(
-        q, kg, mask_f,
+        q_t, kv, mask_f,
         scale=scale, negative_slope=negative_slope, precision=precision,
     )
     lse = stats_ref[:, 0:1]
     d_row = stats_ref[:, 1:2]
     p = jnp.exp(s_m - lse) * mask_f
+    # dO-zone against [k || v]: dO.v = dP
     dp = jax.lax.dot_general(
-        do.astype(compute_dtype),
-        vg.astype(compute_dtype),
+        do_t,
+        kv,
         (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=precision,
@@ -327,23 +378,26 @@ def _attn_bwd_dq_mh_kernel(
     if negative_slope != 1.0:
         ds = ds * jnp.where(raw > 0, 1.0, negative_slope)
     draw = (ds * scale).astype(compute_dtype)
+    # draw @ [k || v]: dq in the k-zone, pollution in the v-zone (sliced)
     dq_ref[...] += jnp.dot(
-        draw, kg, preferred_element_type=jnp.float32, precision=precision
+        draw, kv, preferred_element_type=jnp.float32, precision=precision
     )
 
 
 def _attn_bwd_dkv_mh_kernel(
     wob_ref,
     bitmask_ref,  # transpose plan
-    kv_ref,  # (block_h_t, dk_pad + dv_pad) window's OWN k||v, head slice
-    qdo_ref,  # (UK_t, dk_pad + dv_pad) gathered q||dO, head slice
-    stats_ref,  # (UK_t, dk_pad + dv_pad) gathered; cols 2h / 2h+1 of the
-    #             leading 128 lanes hold lse_h / D_h
-    dk_ref,  # out (block_h_t, dk_pad), revisited
-    dv_ref,  # out (block_h_t, dv_pad), revisited
+    kv_ref,  # (block_h_t, pair_w) window's OWN [k || v], head slice
+    qdo_ref,  # (UK_t, pair_w) gathered [q || dO], head slice
+    stats_ref,  # (UK_t, pair_w) gathered stats tail; leading 128 lanes
+    #             hold per-head (lse, D) — f32 at (2h, 2h+1), or bf16
+    #             hi/lo at (4h..4h+3)
+    dk_ref,  # out (block_h_t, pair_w); dK at lanes [0, dk)
+    dv_ref,  # out (block_h_t, pair_w); dV at lanes [dk, dk+dv)
     *,
     block_h: int,
-    dk_pad: int,
+    dk: int,
+    hi_lo_stats: bool,
     scale: float,
     negative_slope: float,
     compute_dtype,
@@ -367,32 +421,38 @@ def _attn_bwd_dkv_mh_kernel(
         ],
         axis=1,
     )
-    kwin = kv_ref[:, :dk_pad].astype(compute_dtype)
-    vwin = kv_ref[:, dk_pad:]
-    qg = qdo_ref[:, :dk_pad].astype(compute_dtype)
-    dog = qdo_ref[:, dk_pad:]
-    # head h's per-dst scalars live at lanes 2h / 2h+1 of the stats tile;
-    # lane-select via iota compare (dynamic lane slicing is not a Mosaic
-    # primitive, a masked row-reduce is)
-    stats = stats_ref[:, :128]
-    lane = jax.lax.broadcasted_iota(jnp.int32, stats.shape, 1)
-    lse_lane = jnp.sum(jnp.where(lane == 2 * h, stats, 0.0), axis=1)
-    d_lane = jnp.sum(jnp.where(lane == 2 * h + 1, stats, 0.0), axis=1)
+    kv = kv_ref[...].astype(jnp.float32)
+    qdo = qdo_ref[...].astype(compute_dtype)
+    mk = _zone_mask(kv.shape, 0, dk)
+    kwin = (kv * mk).astype(compute_dtype)
+    vwin = (kv * (1.0 - mk)).astype(compute_dtype)
+    stats = stats_ref[:, :128].astype(jnp.float32)
+    if hi_lo_stats:
+        lse_lane = _lane_select(stats, 4 * h) + _lane_select(stats, 4 * h + 1)
+        d_lane = _lane_select(stats, 4 * h + 2) + _lane_select(
+            stats, 4 * h + 3
+        )
+    else:
+        lse_lane = _lane_select(stats, 2 * h)
+        d_lane = _lane_select(stats, 2 * h + 1)
 
+    # raw[s, r] = k_s . q_r (k-zone against [q || dO]; dO hits zero k)
     s_m, raw = _score_tile(
-        kwin, qg, mask_f,
+        kwin, qdo, mask_f,
         scale=scale, negative_slope=negative_slope, precision=precision,
     )
     p = jnp.exp(s_m - lse_lane[None, :]) * mask_f
+    # p @ [q || dO]: dV in the dO-zone, pollution in the q-zone (sliced)
     dv_ref[...] += jnp.dot(
         p.astype(compute_dtype),
-        dog.astype(compute_dtype),
+        qdo,
         preferred_element_type=jnp.float32,
         precision=precision,
     )
+    # dP[s, r] = v_s . dO_r (v-zone against [q || dO])
     dp = jax.lax.dot_general(
-        vwin.astype(compute_dtype),
-        dog.astype(compute_dtype),
+        vwin,
+        qdo,
         (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=precision,
@@ -401,8 +461,9 @@ def _attn_bwd_dkv_mh_kernel(
     if negative_slope != 1.0:
         ds = ds * jnp.where(raw > 0, 1.0, negative_slope)
     draw = (ds * scale).astype(compute_dtype)
+    # draw @ [q || dO]: dK in the q-zone, pollution in the dO-zone
     dk_ref[...] += jnp.dot(
-        draw, qg, preferred_element_type=jnp.float32, precision=precision
+        draw, qdo, preferred_element_type=jnp.float32, precision=precision
     )
 
 
@@ -415,11 +476,12 @@ def _attn_bwd_mh(
     negative_slope: float,
     compute_dtype=jnp.float32,
     precision=None,
+    plane_dtype=None,
     interpret: bool | None = None,
 ):
     """(dq, dk, dv) stacks for `spmm_attention_mh` — split backward over
     the (plan, plan^T) pair, one gather + one launch per kernel for all
-    heads. The forward's interleaved kv gather is rebuilt identically so
+    heads. The forward's pair-packed kv gather is rebuilt identically so
     XLA CSEs it with the forward inside a jitted train step."""
     H, nq, dk = q.shape
     nk = k.shape[1]
@@ -429,29 +491,24 @@ def _attn_bwd_mh(
 
     cfg = plan.config
     block_h, block_w, words = cfg.block_h, cfg.block_w, cfg.words_per_col
-    dk_pad = _round_up(dk, 128)
-    dv_pad = _round_up(dv, 128)
+    pair_w = _round_up(dk + dv, 128)
+    pdt = _plane_dtype_of(plane_dtype)
+    itemsize = jnp.dtype(pdt).itemsize
+    hi_lo = pdt == jnp.bfloat16
     padded = plan.padded_nodes
 
-    qf = _interleave_heads([_pad_heads(q, dk_pad)], padded)
-    kvf = _interleave_heads(
-        [_pad_heads(k, dk_pad), _pad_heads(v, dv_pad)], nk
-    )
-    kvg = _gather_rows(plan, kvf, H * (dk_pad + dv_pad))
-    dof = _interleave_heads([_pad_heads(g, dv_pad)], padded)
+    kvf = _interleave_pairs([k, v], nk, pair_w, dtype=pdt)
+    kvg = _gather_rows(plan, kvf, H * pair_w)
+    qdo_win = _interleave_pairs([q, g], padded, pair_w)
     # D = rowsum(dO o O) per head per dst row
     d_row = jnp.sum(
         g.astype(jnp.float32) * out.astype(jnp.float32), axis=2
     )  # (H, nq)
     d_row = jnp.pad(d_row, ((0, 0), (0, padded - nq)))
+    lse_f = lse.astype(jnp.float32)
     # kernel-A stats: per-head (padded, 128) blocks, col 0 lse, col 1 D
-    stats_a = _interleave_heads(
-        [
-            lse.astype(jnp.float32)[:, :, None],
-            d_row[:, :, None],
-            jnp.zeros((H, padded, 126), jnp.float32),
-        ],
-        padded,
+    stats_a = _interleave_pairs(
+        [lse_f[:, :, None], d_row[:, :, None]], padded, 128
     )
 
     unroll = cfg.block_unroll
@@ -464,20 +521,19 @@ def _attn_bwd_mh(
             pl.BlockSpec(
                 (unroll, words, block_w), lambda h, b, wob: (b, 0, 0)
             ),
-            pl.BlockSpec((block_h, dk_pad), lambda h, b, wob: (wob[b], h)),
-            pl.BlockSpec((uk, dk_pad + dv_pad), lambda h, b, wob: (b, h)),
-            pl.BlockSpec((block_h, dv_pad), lambda h, b, wob: (wob[b], h)),
+            pl.BlockSpec((block_h, pair_w), lambda h, b, wob: (wob[b], h)),
+            pl.BlockSpec((uk, pair_w), lambda h, b, wob: (b, h)),
             pl.BlockSpec((block_h, 128), lambda h, b, wob: (wob[b], h)),
         ],
         out_specs=[
-            pl.BlockSpec((block_h, dk_pad), lambda h, b, wob: (wob[b], h)),
+            pl.BlockSpec((block_h, pair_w), lambda h, b, wob: (wob[b], h)),
         ],
     )
     (dq_flat,) = pl.pallas_call(
         functools.partial(
             _attn_bwd_dq_mh_kernel,
             block_h=block_h,
-            dk_pad=dk_pad,
+            dk=dk,
             scale=float(scale),
             negative_slope=float(negative_slope),
             compute_dtype=compute_dtype,
@@ -486,26 +542,24 @@ def _attn_bwd_mh(
         ),
         grid_spec=dq_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((padded, H * dk_pad), jnp.float32)
+            jax.ShapeDtypeStruct((padded, H * pair_w), jnp.float32)
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * H * plan.total_blocks * block_h * block_w
-            * (dk_pad + dv_pad),
-            bytes_accessed=kvg.size * 4
+            flops=6 * H * plan.total_blocks * block_h * block_w * pair_w,
+            bytes_accessed=kvg.size * itemsize
             + H * plan.total_blocks * words * block_w * 4
-            + padded * H * (2 * dk_pad + dv_pad + 128) * 4,
+            + padded * H * (2 * pair_w + 128) * 4,
             transcendentals=H * plan.total_blocks * block_h * block_w,
         ),
         interpret=interpret,
     )(
         jnp.asarray(plan.window_of_block)[::unroll],
         jnp.asarray(plan.bitmask),
-        qf,
+        qdo_win,
         kvg,
-        dof,
         stats_a,
     )
     if plan.has_empty_windows:
@@ -514,7 +568,7 @@ def _attn_bwd_mh(
             bpw > 0, block_h, total_repeat_length=padded
         )
         dq_flat = jnp.where(nonempty[:, None], dq_flat, 0.0)
-    dq = dq_flat.reshape(padded, H, dk_pad).transpose(1, 0, 2)[:, :nq, :dk]
+    dq = _split_heads(dq_flat, padded, pair_w, 0, dk, nq)
 
     # ---- dK/dV over the transpose plan ----
     cfg_t = plan_t.config
@@ -524,24 +578,33 @@ def _attn_bwd_mh(
     kvw = kvf
     if plan_t.padded_nodes != nk:
         kvw = jnp.pad(kvw, ((0, plan_t.padded_nodes - nk), (0, 0)))
-    # gathered per-dst plane: interleaved [q_h || dO_h] segments plus a
-    # trailing (dk_pad + dv_pad)-wide stats segment whose leading 128
-    # lanes pack (lse_h, D_h) pairs at lanes (2h, 2h+1)
-    pair_w = dk_pad + dv_pad
-    stats_cols = [
-        lse.astype(jnp.float32)[:, :, None],
-        d_row[:, :, None],
-    ]
+    # gathered per-dst plane: interleaved [q_h || dO_h] pair segments
+    # plus a trailing pair_w-wide stats segment whose leading 128 lanes
+    # pack the per-head softmax scalars (f32 pairs, or bf16 hi/lo quads)
+    if hi_lo:
+        lse_hi, lse_lo = _split_hi_lo(lse_f)
+        d_hi, d_lo = _split_hi_lo(d_row)
+        stats_parts = [
+            lse_hi[:, :, None], lse_lo[:, :, None],
+            d_hi[:, :, None], d_lo[:, :, None],
+        ]
+        slots = 4 * H
+    else:
+        stats_parts = [lse_f[:, :, None], d_row[:, :, None]]
+        slots = 2 * H
+    assert slots <= 128, f"too many heads for the stats block ({H})"
     stats_packed = (
-        jnp.concatenate(stats_cols, axis=2)
+        jnp.concatenate(
+            [p.astype(jnp.float32) for p in stats_parts], axis=2
+        )
         .transpose(1, 0, 2)
-        .reshape(padded, 2 * H)
+        .reshape(padded, slots)
     )
-    stats_packed = jnp.pad(stats_packed, ((0, 0), (0, pair_w - 2 * H)))
-    qdo = _interleave_heads(
-        [_pad_heads(q, dk_pad), _pad_heads(g, dv_pad)], padded
-    )
-    qdo_all = jnp.concatenate([qdo, stats_packed], axis=1)
+    stats_packed = jnp.pad(
+        stats_packed, ((0, 0), (0, pair_w - slots))
+    ).astype(pdt)
+    qdo_plane = _interleave_pairs([q, g], padded, pair_w, dtype=pdt)
+    qdo_all = jnp.concatenate([qdo_plane, stats_packed], axis=1)
     qdo_g = _gather_rows(plan_t, qdo_all, (H + 1) * pair_w)
 
     unroll_t = cfg_t.block_unroll
@@ -560,15 +623,16 @@ def _attn_bwd_mh(
             pl.BlockSpec((uk_t, pair_w), lambda h, b, wob: (b, H)),
         ],
         out_specs=[
-            pl.BlockSpec((bh_t, dk_pad), lambda h, b, wob: (wob[b], h)),
-            pl.BlockSpec((bh_t, dv_pad), lambda h, b, wob: (wob[b], h)),
+            pl.BlockSpec((bh_t, pair_w), lambda h, b, wob: (wob[b], h)),
+            pl.BlockSpec((bh_t, pair_w), lambda h, b, wob: (wob[b], h)),
         ],
     )
     dk_flat, dv_flat = pl.pallas_call(
         functools.partial(
             _attn_bwd_dkv_mh_kernel,
             block_h=bh_t,
-            dk_pad=dk_pad,
+            dk=dk,
+            hi_lo_stats=hi_lo,
             scale=float(scale),
             negative_slope=float(negative_slope),
             compute_dtype=compute_dtype,
@@ -578,21 +642,20 @@ def _attn_bwd_mh(
         grid_spec=dkv_spec,
         out_shape=[
             jax.ShapeDtypeStruct(
-                (plan_t.padded_nodes, H * dk_pad), jnp.float32
+                (plan_t.padded_nodes, H * pair_w), jnp.float32
             ),
             jax.ShapeDtypeStruct(
-                (plan_t.padded_nodes, H * dv_pad), jnp.float32
+                (plan_t.padded_nodes, H * pair_w), jnp.float32
             ),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=6 * H * plan_t.total_blocks * bh_t * bw_t
-            * (dk_pad + dv_pad),
-            bytes_accessed=qdo_g.size * 4
+            flops=8 * H * plan_t.total_blocks * bh_t * bw_t * pair_w,
+            bytes_accessed=qdo_g.size * itemsize
             + H * plan_t.total_blocks * words_t * bw_t * 4
-            + plan_t.padded_nodes * 2 * H * (dk_pad + dv_pad) * 4,
+            + plan_t.padded_nodes * 3 * H * pair_w * 4,
             transcendentals=H * plan_t.total_blocks * bh_t * bw_t,
         ),
         interpret=interpret,
@@ -610,44 +673,44 @@ def _attn_bwd_mh(
         )
         dk_flat = jnp.where(nonempty_t[:, None], dk_flat, 0.0)
         dv_flat = jnp.where(nonempty_t[:, None], dv_flat, 0.0)
-    dk_out = (
-        dk_flat.reshape(plan_t.padded_nodes, H, dk_pad)
-        .transpose(1, 0, 2)[:, :nk, :dk]
-    )
-    dv_out = (
-        dv_flat.reshape(plan_t.padded_nodes, H, dv_pad)
-        .transpose(1, 0, 2)[:, :nk, :dv]
+    dk_out = _split_heads(dk_flat, plan_t.padded_nodes, pair_w, 0, dk, nk)
+    dv_out = _split_heads(
+        dv_flat, plan_t.padded_nodes, pair_w, dk, dk + dv, nk
     )
     return (
         dq.astype(q.dtype), dk_out.astype(k.dtype), dv_out.astype(v.dtype)
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def _spmm_attention_mh_ad(
-    plan, plan_t, q, k, v, scale, negative_slope, compute_dtype, precision
+    plan, plan_t, q, k, v, scale, negative_slope, compute_dtype, precision,
+    plane_dtype,
 ):
     return spmm_attention_mh(
         plan, q, k, v,
         scale=scale, negative_slope=negative_slope,
         compute_dtype=compute_dtype, precision=precision,
+        plane_dtype=plane_dtype,
     )
 
 
 def _mh_ad_fwd(plan, plan_t, q, k, v, scale, negative_slope, compute_dtype,
-               precision):
+               precision, plane_dtype):
     if scale is None:
         scale = 1.0 / float(q.shape[2]) ** 0.5
     out, lse = spmm_attention_mh(
         plan, q, k, v,
         scale=scale, negative_slope=negative_slope,
         compute_dtype=compute_dtype, precision=precision,
+        plane_dtype=plane_dtype,
         return_stats=True,
     )
     return out, (plan, plan_t, q, k, v, out, lse)
 
 
-def _mh_ad_bwd(scale, negative_slope, compute_dtype, precision, res, g):
+def _mh_ad_bwd(scale, negative_slope, compute_dtype, precision, plane_dtype,
+               res, g):
     plan, plan_t, q, k, v, out, lse = res
     if scale is None:
         scale = 1.0 / float(q.shape[2]) ** 0.5
@@ -655,6 +718,7 @@ def _mh_ad_bwd(scale, negative_slope, compute_dtype, precision, res, g):
         plan, plan_t, q, k, v, out, lse, g,
         scale=scale, negative_slope=negative_slope,
         compute_dtype=compute_dtype, precision=precision,
+        plane_dtype=plane_dtype,
     )
     from .autodiff import _zero_cotangent
 
@@ -677,11 +741,17 @@ def spmm_attention_mh_ad(
     negative_slope: float = 1.0,
     compute_dtype=jnp.float32,
     precision=None,
+    plane_dtype=None,
 ):
     """Differentiable all-head fused attention (gradients for q/k/v
     stacks). Requires the transpose plan: the batched backward is the
     scatter-free split form only (per-lane fallback stays per-head —
-    use `spmm_attention_ad` without plan_t for that)."""
+    use `spmm_attention_ad` without plan_t for that).
+
+    plane_dtype=jnp.bfloat16 halves gathered-plane traffic in both
+    directions; softmax statistics keep f32 accuracy via hi/lo bf16
+    splitting. Accuracy class matches the default (bf16-rounding) MXU
+    matmul precision."""
     if plan_t is None:
         raise ValueError(
             "spmm_attention_mh_ad requires plan_t (csr_preprocess of "
@@ -690,5 +760,5 @@ def spmm_attention_mh_ad(
         )
     return _spmm_attention_mh_ad(
         plan, plan_t, q, k, v, scale, negative_slope, compute_dtype,
-        precision,
+        precision, plane_dtype,
     )

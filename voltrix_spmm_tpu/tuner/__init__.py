@@ -1,3 +1,10 @@
+from .attention import (
+    AttentionTuner,
+    AttnVariant,
+    TunedAttention,
+    attention_default_space,
+    tune_attention,
+)
 from .tuner import (
     SpmmTuner,
     TunedSpmm,
@@ -14,4 +21,9 @@ __all__ = [
     "default_space",
     "weighted_default_space",
     "Variant",
+    "AttentionTuner",
+    "AttnVariant",
+    "TunedAttention",
+    "attention_default_space",
+    "tune_attention",
 ]
