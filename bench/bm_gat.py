@@ -75,8 +75,15 @@ def main(args):
             if tuned.variant.plane_dtype
             else _jnp.float32
         )
-        graph = (tuned.plan, tuned.plan_t, pdt)
-        fwd, loss_fn = gat_flash_forward, gat_flash_loss
+        # the plane dtype must stay STATIC (a traced graph tuple would
+        # hand jit a dtype leaf) — close it over the model fns instead
+        graph = (tuned.plan, tuned.plan_t)
+
+        def fwd(p, g, x, _d=pdt):
+            return gat_flash_forward(p, (g[0], g[1], _d), x)
+
+        def loss_fn(p, g, x, y, _d=pdt):
+            return gat_flash_loss(p, (g[0], g[1], _d), x, y)
     elif args.method == "flash":
         plan = csr_preprocess(a.indptr, a.indices, n, cfg).device()
         if args.no_split:
