@@ -39,8 +39,11 @@ def methods_registry():
     # bench passes it to fn as a traced ARGUMENT — closing plans over
     # jit embeds them as constants and blows the remote-compile request
     # size (HTTP 413) on large graphs.
-    def voltrix_tuned(a, feat, tag=None):
-        tuned = tune_spmm(a.indptr, a.indices, a.shape[0], feat, hash_tag=tag)
+    def voltrix_tuned(a, feat, tag=None, seed_space=None):
+        tuned = tune_spmm(
+            a.indptr, a.indices, a.shape[0], feat, hash_tag=tag,
+            space=seed_space,
+        )
         from voltrix_spmm_tpu.tuner.tuner import _run_variant
 
         return (lambda x, p, v=tuned.variant: _run_variant(v, p, x)), tuned.plan
@@ -120,6 +123,61 @@ def methods_registry():
     }
 
 
+def seeded_space(name: str, n: int, seed_dim: int, target_dim: int):
+    """Trimmed tuning space for d != seed_dim cells: the disk-cached
+    seed-dim winner plus its feature-dtype twin (and its neighbor
+    stream-chunking when streamed). A full default-space race per
+    (dataset, dim) costs ~an hour on the big proxies (isolated probes x
+    1-core JAX cold starts); the winner GEOMETRY transfers across d —
+    only the storage-dtype/chunking tradeoffs move with row width —
+    so the transferred race keeps cells honest at ~3 candidates.
+    Returns None (falls back to the full default space) when no
+    seed-dim cache entry exists."""
+    import dataclasses
+    import glob
+    import json
+
+    from voltrix_spmm_tpu.tuner import Variant
+
+    cache = os.environ.get(
+        "VOLTRIX_TPU_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".voltrix_spmm_tpu", "cache"),
+    )
+    pats = glob.glob(
+        os.path.join(
+            cache, f"tune.{name}-sweep.n{n}.d{seed_dim}.float32.*.json"
+        )
+    )
+    pats = [p for p in pats if not p.endswith(".partial")]
+    if not pats:
+        return None
+    with open(max(pats, key=os.path.getmtime)) as f:
+        entry = json.load(f)
+    fields = {f.name for f in dataclasses.fields(Variant)}
+    win = Variant(**{k: v for k, v in entry["variant"].items() if k in fields})
+    space = [win]
+    alt = "bfloat16" if win.feat_dtype is None else None
+    if win.impl in ("pregather", "ell"):
+        space.append(dataclasses.replace(win, feat_dtype=alt))
+    if win.stream_chunks:
+        # wider rows at the same chunk count double peak gather bytes;
+        # offer the next chunking so the cell survives d512/d1024
+        scale = max(1, target_dim // seed_dim)
+        space.append(
+            dataclasses.replace(
+                win, stream_chunks=min(1024, win.stream_chunks * scale)
+            )
+        )
+        space.append(
+            dataclasses.replace(
+                win,
+                feat_dtype=alt,
+                stream_chunks=min(1024, win.stream_chunks * scale),
+            )
+        )
+    return space
+
+
 def run(args):
     import jax.numpy as jnp
 
@@ -170,6 +228,20 @@ def run(args):
                         if method == "Voltrix"
                         else {}
                     )
+                    if method == "Voltrix" and args.seed_dim and (
+                        d != args.seed_dim
+                    ):
+                        kw["seed_space"] = seeded_space(
+                            name, n, args.seed_dim, d
+                        )
+                        if kw["seed_space"]:
+                            print(
+                                f"[Voltrix] {name} d={d}: seeded space "
+                                f"from d{args.seed_dim} winner: "
+                                + ", ".join(
+                                    v.key() for v in kw["seed_space"]
+                                )
+                            )
                     fn, plan = registry[method](a, feat_np, **kw)
                     rest = () if plan is None else (plan,)
                     out = np.asarray(fn(feat, *rest))
@@ -262,6 +334,11 @@ if __name__ == "__main__":
     p.add_argument("--out-dir", default=here)
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--out-csv", default="results.csv")
+    p.add_argument(
+        "--seed-dim", type=int, default=0,
+        help="for Voltrix cells at other dims, race a trimmed space "
+        "seeded by this dim's cached winner (see seeded_space)",
+    )
     p.add_argument("--quick", action="store_true")
     args = p.parse_args()
     if args.quick:
