@@ -26,7 +26,9 @@ def main(args):
     feat_np = rng.standard_normal((n, args.dim)).astype(np.float32)
     feat = jnp.asarray(feat_np)
 
-    tuned = tune_spmm(a.indptr, a.indices, n, feat_np)
+    tuned = tune_spmm(
+        a.indptr, a.indices, n, feat_np, hash_tag=args.tag or None
+    )
     out = np.asarray(tuned(feat))
     diff = calc_diff(out, spmm_scipy(a.indptr, a.indices, n, feat_np))
     # pass the plan as a jit ARGUMENT — closing large plans over jit blows
@@ -38,7 +40,7 @@ def main(args):
             _run_variant(v, p, c, pe, ip),
         feat,
         tuned.plan,
-        iters=10,
+        iters=args.iters,
     )
     print(f"[Voltrix] variant: {tuned.variant.key()}")
     print(f"[Voltrix] difference rate: {diff * 100:.4f}%")
@@ -49,4 +51,10 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("graph", help="path to .npz from graph_gen.py")
     p.add_argument("--dim", type=int, default=256)
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument(
+        "--tag", default="",
+        help="tune-cache hash_tag (use '<dataset>-sweep' to share the "
+        "bench_all cache on huge graphs instead of rehashing/retuning)",
+    )
     main(p.parse_args())
