@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Stall watchdog for long TPU bench/tune jobs.
+
+Pathology (CLAUDE.md): the axon relay drops for ~10-20 min at a time;
+an in-flight RPC never returns, so a multi-hour sweep freezes silently
+with zero CPU. bench.py protects the single headline cell with a
+probe+retry loop; this wrapper protects ARBITRARY jobs: it launches the
+command in its own process group, samples the process TREE's cumulative
+CPU time every --poll seconds, and if the tree makes no CPU progress
+for --stall-sec (far beyond any legitimate remote-compile wait of
+20-40 s) it SIGKILLs the group and relaunches, up to --retries times.
+Resumable state (tune .partial sidecars, per-dataset CSVs) makes the
+relaunch cheap. Kills are by process-group id — never by name pattern.
+
+Usage: python bench/watchdog.py [--stall-sec 360] [--retries 3]
+           [--timeout 14400] -- <command...>
+Exit code: the command's rc on success; 97 when retries are exhausted.
+"""
+
+import argparse
+import os
+import signal
+import subprocess
+import sys
+import time
+
+
+def _tree_cpu_jiffies(root_pid: int) -> int:
+    """Sum utime+stime over root_pid and all its descendants."""
+    children: dict[int, list[int]] = {}
+    stats: dict[int, int] = {}
+    for entry in os.listdir("/proc"):
+        if not entry.isdigit():
+            continue
+        try:
+            with open(f"/proc/{entry}/stat") as f:
+                raw = f.read()
+        except OSError:
+            continue
+        # pid (comm) state ppid ... utime[13] stime[14]; comm may hold
+        # spaces/parens — split after the LAST ')'
+        rest = raw[raw.rfind(")") + 2:].split()
+        pid = int(entry)
+        ppid = int(rest[1])
+        stats[pid] = int(rest[11]) + int(rest[12])
+        children.setdefault(ppid, []).append(pid)
+    total, stack = 0, [root_pid]
+    while stack:
+        p = stack.pop()
+        total += stats.get(p, 0)
+        stack.extend(children.get(p, []))
+    return total
+
+
+def run_once(cmd, stall_sec, poll, timeout, log):
+    proc = subprocess.Popen(cmd, start_new_session=True)
+    last_cpu, last_change = -1, time.time()
+    t0 = time.time()
+    try:
+        while True:
+            rc = proc.poll()
+            if rc is not None:
+                return rc, "exit"
+            now = time.time()
+            if now - t0 > timeout:
+                _kill_group(proc)
+                return None, "timeout"
+            cpu = _tree_cpu_jiffies(proc.pid)
+            if cpu != last_cpu:
+                last_cpu, last_change = cpu, now
+            elif now - last_change > stall_sec:
+                log(
+                    f"STALL: no tree CPU progress for {stall_sec}s "
+                    f"(cpu={cpu} jiffies, t+{now - t0:.0f}s) — killing group"
+                )
+                _kill_group(proc)
+                return None, "stall"
+            time.sleep(poll)
+    except KeyboardInterrupt:
+        _kill_group(proc)
+        raise
+
+
+def _kill_group(proc):
+    try:
+        os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+    except (ProcessLookupError, PermissionError):
+        pass
+    try:
+        proc.wait(timeout=30)
+    except subprocess.TimeoutExpired:
+        pass
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--stall-sec", type=int, default=360)
+    p.add_argument("--poll", type=float, default=20.0)
+    p.add_argument("--retries", type=int, default=3)
+    p.add_argument("--timeout", type=int, default=14400)
+    p.add_argument("cmd", nargs=argparse.REMAINDER)
+    args = p.parse_args()
+    cmd = args.cmd[1:] if args.cmd and args.cmd[0] == "--" else args.cmd
+    if not cmd:
+        p.error("no command given (use: watchdog.py [opts] -- cmd ...)")
+
+    def log(msg):
+        print(f"[watchdog] {msg}", flush=True)
+
+    for attempt in range(1, args.retries + 2):
+        log(f"attempt {attempt}: {' '.join(cmd)}")
+        rc, why = run_once(cmd, args.stall_sec, args.poll, args.timeout, log)
+        if why == "exit":
+            log(f"command exited rc={rc}")
+            sys.exit(rc)
+        if attempt <= args.retries:
+            # give a downed relay time to come back before relaunching
+            log(f"{why}; backing off 120s then retrying")
+            time.sleep(120)
+    log("retries exhausted")
+    sys.exit(97)
+
+
+if __name__ == "__main__":
+    main()
