@@ -52,10 +52,16 @@ def _tree_cpu_jiffies(root_pid: int) -> int:
     return total
 
 
-def run_once(cmd, stall_sec, poll, timeout, log):
+def run_once(cmd, stall_sec, poll, timeout, min_jiffies, log):
     proc = subprocess.Popen(cmd, start_new_session=True)
-    last_cpu, last_change = -1, time.time()
     t0 = time.time()
+    # (time, cpu) history: stalled = the tree accrued < min_jiffies of
+    # CPU over the trailing stall_sec. "Any change" is NOT enough — a
+    # process blocked on an orphaned relay RPC still ticks a few
+    # keepalive jiffies per minute (observed: <1 s CPU over 12 min),
+    # while legit waits (remote compile 20-40 s) sit inside windows
+    # with real work on either side.
+    hist: list[tuple[float, int]] = []
     try:
         while True:
             rc = proc.poll()
@@ -66,15 +72,23 @@ def run_once(cmd, stall_sec, poll, timeout, log):
                 _kill_group(proc)
                 return None, "timeout"
             cpu = _tree_cpu_jiffies(proc.pid)
-            if cpu != last_cpu:
-                last_cpu, last_change = cpu, now
-            elif now - last_change > stall_sec:
+            hist.append((now, cpu))
+            baseline = None
+            for ts, c in hist:
+                if now - ts >= stall_sec:
+                    baseline = c
+                else:
+                    break
+            if baseline is not None and cpu - baseline < min_jiffies:
                 log(
-                    f"STALL: no tree CPU progress for {stall_sec}s "
-                    f"(cpu={cpu} jiffies, t+{now - t0:.0f}s) — killing group"
+                    f"STALL: tree accrued {cpu - baseline} jiffies in "
+                    f"{stall_sec}s (< {min_jiffies}, t+{now - t0:.0f}s) "
+                    f"— killing group"
                 )
                 _kill_group(proc)
                 return None, "stall"
+            while hist and now - hist[0][0] > 2 * stall_sec:
+                hist.pop(0)
             time.sleep(poll)
     except KeyboardInterrupt:
         _kill_group(proc)
@@ -95,6 +109,11 @@ def _kill_group(proc):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--stall-sec", type=int, default=360)
+    p.add_argument(
+        "--min-jiffies", type=int, default=50,
+        help="minimum tree CPU jiffies per stall window to count as "
+        "progress (50 = 0.5s CPU/window, above RPC keepalive noise)",
+    )
     p.add_argument("--poll", type=float, default=20.0)
     p.add_argument("--retries", type=int, default=3)
     p.add_argument("--timeout", type=int, default=14400)
@@ -109,7 +128,10 @@ def main():
 
     for attempt in range(1, args.retries + 2):
         log(f"attempt {attempt}: {' '.join(cmd)}")
-        rc, why = run_once(cmd, args.stall_sec, args.poll, args.timeout, log)
+        rc, why = run_once(
+            cmd, args.stall_sec, args.poll, args.timeout,
+            args.min_jiffies, log,
+        )
         if why == "exit":
             log(f"command exited rc={rc}")
             sys.exit(rc)

@@ -674,6 +674,33 @@ def _code_version() -> str:
     return md5.hexdigest()[:12]
 
 
+def _device_reachable(timeout_s: float = 90.0) -> bool:
+    """True when a FRESH subprocess can run one tiny op on this host's
+    default backend. Used after a double probe timeout to distinguish a
+    relay outage (don't persist: candidate deserves a later re-time)
+    from a candidate whose device program genuinely hangs (persist inf
+    so resumed races skip it)."""
+    import subprocess
+    import sys as _sys
+
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "x = jnp.ones((8, 128), jnp.float32);"
+        "(x @ x.T).block_until_ready();"
+        "print('reachable')"
+    )
+    try:
+        r = subprocess.run(
+            [_sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return False
+    return r.returncode == 0 and "reachable" in (r.stdout or "")
+
+
 class SpmmTuner:
     def __init__(self, cache_dir: str | None = None):
         self._mem: dict[str, TunedSpmm] = {}
@@ -705,7 +732,7 @@ class SpmmTuner:
         parallel_compile: bool = False,
         values=None,
         isolate: bool | None = None,
-        probe_timeout_s: float = 1800.0,
+        probe_timeout_s: float = 900.0,
     ) -> TunedSpmm:
         """Pick the fastest (variant, ordering) for this (matrix,
         feature-shape) pair.
@@ -949,12 +976,27 @@ class SpmmTuner:
         # candidate's time as it lands; the next race with the same
         # signature prefills and re-times only what's missing.
         partial = disk + ".partial"
+        # Probe TIMEOUTS never enter the sidecar: an orphaned relay RPC
+        # (the relay drops ~10-20 min at a time and an in-flight call
+        # never returns) says nothing about the candidate, and a
+        # persisted inf would permanently exclude a potential winner
+        # from every resumed race with this signature.
+        timeout_keys: set[str] = set()
 
         def save_partial():
             os.makedirs(self.cache_dir(), exist_ok=True)
             tmp = partial + ".tmp"
             with open(tmp, "w") as f:
-                json.dump({"results": results}, f)
+                json.dump(
+                    {
+                        "results": {
+                            k: v
+                            for k, v in results.items()
+                            if k not in timeout_keys
+                        }
+                    },
+                    f,
+                )
             os.replace(tmp, partial)
 
         if os.path.exists(partial):
@@ -1102,6 +1144,18 @@ class SpmmTuner:
                     continue
                 if isolate:
                     t, err = probe_candidate(variant, ordering)
+                    if err and err.startswith("timeout"):
+                        # retry once: a relay blip and a genuinely
+                        # hanging candidate look identical on the first
+                        # timeout; only the second one is believed
+                        t, err = probe_candidate(variant, ordering)
+                    if err and err.startswith("timeout"):
+                        # double timeout: if the device is reachable the
+                        # candidate itself hangs -> persist inf so
+                        # resumed races skip it; if the relay is down,
+                        # keep it out of the sidecar for a later re-time
+                        if not _device_reachable():
+                            timeout_keys.add(key)
                     results[key] = t
                     save_partial()
                     if verbose:
