@@ -30,7 +30,18 @@ case "${1:-small}" in
     for ds in $SMALL; do run_ds "$ds" 256,512,1024 10800; done
     ;;
   big)
-    for ds in $BIG; do run_ds "$ds" 256,512,1024 21600; done
+    # explicit seeded races via run_r4_big.py — a full default-space
+    # re-tune at 100M-nnz scale would cost hours per graph (see its
+    # docstring); one (dataset, dim, method) cell per process
+    for ds in $BIG; do
+      for dim in 256 512 1024; do
+        for m in voltrix csrell bcoo; do
+          python watchdog.py --stall-sec 600 --retries 2 --timeout 14400 -- \
+            python -u run_r4_big.py "$ds" "$dim" "$m"
+          echo "=== $ds d$dim $m done rc=$? ==="
+        done
+      done
+    done
     ;;
   *)
     run_ds "$1" "${2:-256,512,1024}" "${3:-10800}"
