@@ -19,7 +19,7 @@ for ds in ppi ogbn-arxiv er-8k; do
   for method in flash ell; do
     extra=""
     [ "$method" = flash ] && extra="--tune"
-    python watchdog.py --stall-sec 360 --retries 2 --timeout 5400 -- \
+    python watchdog.py --wait-tpu 2700 --stall-sec 360 --retries 2 --timeout 5400 -- \
       python -u bm_gat.py "$npz" --method "$method" --mode train \
         --dims 64,256 $extra --csv "$CSV" --iters 8
     echo "=== $ds $method done rc=$? ==="

@@ -18,7 +18,7 @@ BIG="reddit ogbn-products"
 
 run_ds () {
   local ds="$1" dims="$2" timeout="$3"
-  python watchdog.py --stall-sec 360 --retries 3 --timeout "$timeout" -- \
+  python watchdog.py --wait-tpu 2700 --stall-sec 360 --retries 3 --timeout "$timeout" -- \
     python -u bench_all.py --datasets "$ds" --dims "$dims" \
       --methods Voltrix,BCOO,CSR-ELL --seed-dim 256 \
       --out-csv "results_r4_${ds}.csv" --iters 8
@@ -36,7 +36,7 @@ case "${1:-small}" in
     for ds in $BIG; do
       for dim in 256 512 1024; do
         for m in voltrix csrell bcoo; do
-          python watchdog.py --stall-sec 600 --retries 2 --timeout 14400 -- \
+          python watchdog.py --wait-tpu 2700 --stall-sec 600 --retries 2 --timeout 14400 -- \
             python -u run_r4_big.py "$ds" "$dim" "$m"
           echo "=== $ds d$dim $m done rc=$? ==="
         done

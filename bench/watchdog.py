@@ -95,6 +95,34 @@ def run_once(cmd, stall_sec, poll, timeout, min_jiffies, log):
         raise
 
 
+def wait_tpu(max_wait_s: float, log) -> bool:
+    """Block until a FRESH subprocess completes one tiny matmul on the
+    device (bench.py wait_for_tpu role, shared by any watchdog-guarded
+    job). Gating each attempt on relay health stops a 10-20 min outage
+    from burning the whole retry budget on guaranteed stalls (observed:
+    ddi sweep attempt 1+2 both stall-killed during one outage window)."""
+    code = (
+        "import jax.numpy as jnp;"
+        "print(float((jnp.ones((128,128)) @ jnp.ones((128,128))).sum()))"
+    )
+    deadline = time.time() + max_wait_s
+    first = True
+    while time.time() < deadline:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True, timeout=90
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if first:
+            log(f"relay down — waiting (up to {max_wait_s:.0f}s)")
+            first = False
+        time.sleep(30)
+    return False
+
+
 def _kill_group(proc):
     try:
         os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
@@ -117,6 +145,12 @@ def main():
     p.add_argument("--poll", type=float, default=20.0)
     p.add_argument("--retries", type=int, default=3)
     p.add_argument("--timeout", type=int, default=14400)
+    p.add_argument(
+        "--wait-tpu", type=int, default=0, metavar="S",
+        help="before each attempt, block up to S seconds for a tiny "
+        "device matmul to succeed in a fresh subprocess; exit 98 if "
+        "the relay never comes back",
+    )
     p.add_argument("cmd", nargs=argparse.REMAINDER)
     args = p.parse_args()
     cmd = args.cmd[1:] if args.cmd and args.cmd[0] == "--" else args.cmd
@@ -127,6 +161,9 @@ def main():
         print(f"[watchdog] {msg}", flush=True)
 
     for attempt in range(1, args.retries + 2):
+        if args.wait_tpu and not wait_tpu(args.wait_tpu, log):
+            log("relay never came back — giving up")
+            sys.exit(98)
         log(f"attempt {attempt}: {' '.join(cmd)}")
         rc, why = run_once(
             cmd, args.stall_sec, args.poll, args.timeout,
