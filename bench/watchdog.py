@@ -25,8 +25,8 @@ import sys
 import time
 
 
-def _tree_cpu_jiffies(root_pid: int) -> int:
-    """Sum utime+stime over root_pid and all its descendants."""
+def _tree_cpu_stats(root_pid: int) -> dict[int, int]:
+    """pid -> utime+stime jiffies for root_pid and all descendants."""
     children: dict[int, list[int]] = {}
     stats: dict[int, int] = {}
     for entry in os.listdir("/proc"):
@@ -44,24 +44,32 @@ def _tree_cpu_jiffies(root_pid: int) -> int:
         ppid = int(rest[1])
         stats[pid] = int(rest[11]) + int(rest[12])
         children.setdefault(ppid, []).append(pid)
-    total, stack = 0, [root_pid]
+    out: dict[int, int] = {}
+    stack = [root_pid]
     while stack:
         p = stack.pop()
-        total += stats.get(p, 0)
+        if p in stats:
+            out[p] = stats[p]
         stack.extend(children.get(p, []))
-    return total
+    return out
 
 
 def run_once(cmd, stall_sec, poll, timeout, min_jiffies, log):
     proc = subprocess.Popen(cmd, start_new_session=True)
     t0 = time.time()
-    # (time, cpu) history: stalled = the tree accrued < min_jiffies of
-    # CPU over the trailing stall_sec. "Any change" is NOT enough — a
-    # process blocked on an orphaned relay RPC still ticks a few
-    # keepalive jiffies per minute (observed: <1 s CPU over 12 min),
-    # while legit waits (remote compile 20-40 s) sit inside windows
-    # with real work on either side.
+    # (time, progress) history: stalled = the tree accrued <
+    # min_jiffies of CPU over the trailing stall_sec. "Any change" is
+    # NOT enough — a process blocked on an orphaned relay RPC still
+    # ticks a few keepalive jiffies per minute (observed: <1 s CPU over
+    # 12 min), while legit waits (remote compile 20-40 s) sit inside
+    # windows with real work on either side. Progress is a MONOTONE
+    # accumulator of per-PID positive deltas, NOT the raw tree total:
+    # when a tuner probe subprocess exits, its jiffies leave the tree
+    # sum, and the raw-total delta goes negative — a healthy Yeast tune
+    # was stall-killed at "-1245 jiffies in 360s" exactly this way.
     hist: list[tuple[float, int]] = []
+    last: dict[int, int] = {}
+    progress = 0
     try:
         while True:
             rc = proc.poll()
@@ -71,18 +79,23 @@ def run_once(cmd, stall_sec, poll, timeout, min_jiffies, log):
             if now - t0 > timeout:
                 _kill_group(proc)
                 return None, "timeout"
-            cpu = _tree_cpu_jiffies(proc.pid)
-            hist.append((now, cpu))
+            stats = _tree_cpu_stats(proc.pid)
+            for pid, jiffies in stats.items():
+                # new pid: all its CPU is new work; pid reuse with a
+                # lower count is clamped to 0 by max()
+                progress += max(0, jiffies - last.get(pid, 0))
+            last = stats
+            hist.append((now, progress))
             baseline = None
             for ts, c in hist:
                 if now - ts >= stall_sec:
                     baseline = c
                 else:
                     break
-            if baseline is not None and cpu - baseline < min_jiffies:
+            if baseline is not None and progress - baseline < min_jiffies:
                 log(
-                    f"STALL: tree accrued {cpu - baseline} jiffies in "
-                    f"{stall_sec}s (< {min_jiffies}, t+{now - t0:.0f}s) "
+                    f"STALL: tree accrued {progress - baseline} jiffies "
+                    f"in {stall_sec}s (< {min_jiffies}, t+{now - t0:.0f}s) "
                     f"— killing group"
                 )
                 _kill_group(proc)
