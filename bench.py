@@ -199,52 +199,81 @@ def resilient():
     deadline = time.time() + float(
         os.environ.get("VOLTRIX_TPU_BENCH_BUDGET_S", "2700")
     )
+    # Quiet-chip protocol: a long-running r4 queue cell (grid sweeps,
+    # GAT tunes) may hold the single TPU when the driver captures the
+    # headline. The pause sentinel makes bench/watchdog.py suspend its
+    # cell (kill + resume later from the tune sidecars) so this
+    # measurement runs uncontended; removed in the finally below.
+    pause_file = "/tmp/r4_pause"
+
+    def _touch_pause():
+        try:
+            with open(pause_file, "w"):
+                pass
+        except OSError:
+            pass
+
+    _touch_pause()
+    if os.path.exists("/tmp/r4_queue.lock"):
+        time.sleep(75)  # watchdog poll (20 s) + kill + RPC drain
+
     errors = []
     attempt = 0
-    while time.time() < deadline and attempt < 5:
-        attempt += 1
-        probe_window = min(600.0, max(60.0, deadline - time.time()))
-        if not wait_for_tpu(probe_window):
+    try:
+        while time.time() < deadline and attempt < 5:
+            attempt += 1
+            _touch_pause()  # keep the sentinel fresh across long attempts
+            probe_window = min(600.0, max(60.0, deadline - time.time()))
+            if not wait_for_tpu(probe_window):
+                errors.append(
+                    f"attempt {attempt}: relay probe failed for "
+                    f"{probe_window:.0f}s"
+                )
+                continue
+            budget = min(1500.0, max(120.0, deadline - time.time()))
+            try:
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--measure"]
+                    + [a for a in sys.argv[1:] if a != "--measure"],
+                    capture_output=True,
+                    text=True,
+                    timeout=budget,
+                )
+            except subprocess.TimeoutExpired:
+                errors.append(
+                    f"attempt {attempt}: measurement timeout {budget:.0f}s"
+                )
+                continue
+            sys.stderr.write(r.stderr or "")
+            for line in reversed((r.stdout or "").strip().splitlines()):
+                line = line.strip()
+                if line.startswith("{") and '"metric"' in line:
+                    print(line)
+                    return 0
             errors.append(
-                f"attempt {attempt}: relay probe failed for "
-                f"{probe_window:.0f}s"
+                f"attempt {attempt}: rc={r.returncode} "
+                f"tail={((r.stderr or r.stdout) or 'no output')[-200:]!r}"
             )
-            continue
-        budget = min(1500.0, max(120.0, deadline - time.time()))
+            time.sleep(30)
+        print(
+            json.dumps(
+                {
+                    "metric": "spmm_speedup_vs_bcoo_rmat17_d256",
+                    "value": 0.0,
+                    "unit": "x",
+                    "vs_baseline": 0.0,
+                    "detail": {
+                        "error": "; ".join(errors) or "no attempts ran"
+                    },
+                }
+            )
+        )
+        return 0
+    finally:
         try:
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--measure"]
-                + [a for a in sys.argv[1:] if a != "--measure"],
-                capture_output=True,
-                text=True,
-                timeout=budget,
-            )
-        except subprocess.TimeoutExpired:
-            errors.append(f"attempt {attempt}: measurement timeout {budget:.0f}s")
-            continue
-        sys.stderr.write(r.stderr or "")
-        for line in reversed((r.stdout or "").strip().splitlines()):
-            line = line.strip()
-            if line.startswith("{") and '"metric"' in line:
-                print(line)
-                return 0
-        errors.append(
-            f"attempt {attempt}: rc={r.returncode} "
-            f"tail={((r.stderr or r.stdout) or 'no output')[-200:]!r}"
-        )
-        time.sleep(30)
-    print(
-        json.dumps(
-            {
-                "metric": "spmm_speedup_vs_bcoo_rmat17_d256",
-                "value": 0.0,
-                "unit": "x",
-                "vs_baseline": 0.0,
-                "detail": {"error": "; ".join(errors) or "no attempts ran"},
-            }
-        )
-    )
-    return 0
+            os.remove(pause_file)
+        except OSError:
+            pass
 
 
 if __name__ == "__main__":

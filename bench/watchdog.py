@@ -54,6 +54,21 @@ def _tree_cpu_stats(root_pid: int) -> dict[int, int]:
     return out
 
 
+PAUSE_FILE = "/tmp/r4_pause"
+PAUSE_STALE_S = 1800.0
+
+
+def _pause_requested() -> bool:
+    """True while a fresh pause sentinel exists (bench.py creates it so
+    the driver's headline capture measures on a QUIET chip; a sentinel
+    older than PAUSE_STALE_S is treated as leaked and ignored)."""
+    try:
+        age = time.time() - os.path.getmtime(PAUSE_FILE)
+    except OSError:
+        return False
+    return age < PAUSE_STALE_S
+
+
 def run_once(cmd, stall_sec, poll, timeout, min_jiffies, log):
     proc = subprocess.Popen(cmd, start_new_session=True)
     t0 = time.time()
@@ -79,6 +94,10 @@ def run_once(cmd, stall_sec, poll, timeout, min_jiffies, log):
             if now - t0 > timeout:
                 _kill_group(proc)
                 return None, "timeout"
+            if _pause_requested():
+                log("pause sentinel — suspending (resumable sidecars)")
+                _kill_group(proc)
+                return None, "paused"
             stats = _tree_cpu_stats(proc.pid)
             for pid, jiffies in stats.items():
                 # new pid: all its CPU is new work; pid reuse with a
@@ -173,7 +192,9 @@ def main():
     def log(msg):
         print(f"[watchdog] {msg}", flush=True)
 
-    for attempt in range(1, args.retries + 2):
+    attempt = 0
+    while attempt <= args.retries:
+        attempt += 1
         if args.wait_tpu and not wait_tpu(args.wait_tpu, log):
             log("relay never came back — giving up")
             sys.exit(98)
@@ -185,6 +206,14 @@ def main():
         if why == "exit":
             log(f"command exited rc={rc}")
             sys.exit(rc)
+        if why == "paused":
+            # a headline capture asked for a quiet chip — wait it out
+            # and retry WITHOUT consuming the retry budget
+            attempt -= 1
+            while _pause_requested():
+                time.sleep(15)
+            log("pause released — resuming")
+            continue
         if attempt <= args.retries:
             # give a downed relay time to come back before relaunching
             log(f"{why}; backing off 120s then retrying")
