@@ -178,6 +178,27 @@ def seeded_space(name: str, n: int, seed_dim: int, target_dim: int):
     return space
 
 
+def _log_cell_error(args, name, method, d, exc):
+    """Sidecar diagnosis for nan cells (round-3 advice: a nan row whose
+    reason lives only in a scrolled-away stdout is not auditable).
+    Appends one line per failure next to the sweep CSV."""
+    import datetime
+
+    path = os.path.join(args.out_dir, args.out_csv + ".errors.txt")
+    stamp = datetime.datetime.now(datetime.timezone.utc).isoformat(
+        timespec="seconds"
+    )
+    first = str(exc).splitlines()[0][:300] if str(exc) else repr(exc)
+    try:
+        with open(path, "a") as f:
+            f.write(
+                f"{stamp} {name} {method} d={d} "
+                f"{type(exc).__name__}: {first}\n"
+            )
+    except OSError:
+        pass
+
+
 def run(args):
     import jax.numpy as jnp
 
@@ -218,6 +239,7 @@ def run(args):
                 # upload itself — record the whole cell as failed instead
                 # of killing the sweep
                 print(f"[setup] {name} d={d}: FAILED ({e})")
+                _log_cell_error(args, name, "setup", d, e)
                 for method in methods:
                     rows.append([name, method, d, float("nan")])
                 continue
@@ -276,6 +298,7 @@ def run(args):
                         )
                 except Exception as e:
                     print(f"[{method}] {name} d={d}: FAILED ({e})")
+                    _log_cell_error(args, name, method, d, e)
                     rows.append([name, method, d, float("nan")])
                     t = None
                 if t is not None:

@@ -40,7 +40,8 @@ while :; do
   (
     flock 9
     cd "$REPO"
-    git add bench/*.csv bench/*.json bench/*.png bench/exp_*.txt 2>/dev/null
+    git add bench/*.csv bench/*.json bench/*.png bench/exp_*.txt \
+      bench/*.errors.txt 2>/dev/null
     git diff --cached --quiet || git commit -q -m "Bench: $msg"
   ) 9>/tmp/r4_git.lock
 done
