@@ -207,13 +207,30 @@ def resilient():
     pause_file = "/tmp/r4_pause"
 
     def _touch_pause():
+        # The sentinel carries this process's PID so a watchdog that is
+        # WRAPPING bench.py can recognize its own child's pause request
+        # and ignore it (otherwise: kill -> wait-out-staleness -> retry
+        # livelock, round-4 advisor finding).
         try:
-            with open(pause_file, "w"):
-                pass
+            with open(pause_file, "w") as f:
+                f.write(str(os.getpid()))
         except OSError:
             pass
 
     _touch_pause()
+    # One attempt spans up to ~2100 s (600 s relay probe + 1500 s
+    # measurement) — longer than the watchdog's PAUSE_STALE_S — so a
+    # per-attempt touch is not enough: re-touch from a daemon thread
+    # every 60 s for the whole resilient() lifetime.
+    import threading
+
+    _pause_done = threading.Event()
+
+    def _keep_fresh():
+        while not _pause_done.wait(60.0):
+            _touch_pause()
+
+    threading.Thread(target=_keep_fresh, daemon=True).start()
     if os.path.exists("/tmp/r4_queue.lock"):
         time.sleep(75)  # watchdog poll (20 s) + kill + RPC drain
 
@@ -222,7 +239,6 @@ def resilient():
     try:
         while time.time() < deadline and attempt < 5:
             attempt += 1
-            _touch_pause()  # keep the sentinel fresh across long attempts
             probe_window = min(600.0, max(60.0, deadline - time.time()))
             if not wait_for_tpu(probe_window):
                 errors.append(
@@ -270,6 +286,7 @@ def resilient():
         )
         return 0
     finally:
+        _pause_done.set()
         try:
             os.remove(pause_file)
         except OSError:

@@ -46,7 +46,9 @@ def methods_registry():
         )
         from voltrix_spmm_tpu.tuner.tuner import _run_variant
 
-        return (lambda x, p, v=tuned.variant: _run_variant(v, p, x)), tuned.plan
+        fn = lambda x, p, v=tuned.variant: _run_variant(v, p, x)  # noqa: E731
+        fn.variant = tuned.variant  # for the per-cell floor column
+        return fn, tuned.plan
 
     def voltrix_pregather(a, feat):
         plan = csr_preprocess(
@@ -178,6 +180,55 @@ def seeded_space(name: str, n: int, seed_dim: int, target_dim: int):
     return space
 
 
+def _cell_floor(plan, variant, n: int, d: int):
+    """Per-cell speed-of-light in ms for THIS plan on a v5e, so 'fast'
+    is auditable per grid cell (VERDICT r4 #7): overlapped max of the
+    measured gather law — max(rows/175e6 row-issue, bytes_rw/340e9
+    HBM) — and the MXU time over the plan's expanded block slots at
+    ~197 TFLOPs bf16 (the floor model established in docs/RESULTS.md
+    rounds 2-3). Returns None for plan shapes without block geometry
+    (hybrid/streamed containers)."""
+    try:
+        gather_rows = int(plan.gather_rows)
+        slots = (
+            int(plan.total_blocks)
+            * int(plan.config.block_h)
+            * int(plan.config.block_w)
+        )
+    except (AttributeError, TypeError):
+        return None
+    feat_bytes = 2 if getattr(variant, "feat_dtype", None) == "bfloat16" else 4
+    bytes_rw = gather_rows * d * feat_bytes + n * d * 4
+    t_traffic = max(gather_rows / 175e6, bytes_rw / 340e9)
+    t_mxu = 2.0 * slots * d / 197e12
+    return max(t_traffic, t_mxu) * 1e3
+
+
+def _load_done(out_dir, csv_name):
+    """Per-cell resume (VERDICT r4 weak #6): rows already measured in a
+    previous (stall-killed) run of the same sweep are kept and skipped,
+    so watchdog retries only pay for the missing cells. nan cells are
+    NOT kept — a stall-kill mid-measurement writes nan, and those
+    deserve a retry."""
+    path = os.path.join(out_dir, csv_name)
+    rows, done = [], set()
+    if not os.path.exists(path):
+        return rows, done
+    with open(path) as f:
+        for r in csv.reader(f):
+            if not r or r[0] == "dataset":
+                continue
+            try:
+                t = float(r[3])
+            except (IndexError, ValueError):
+                t = float("nan")
+            if np.isnan(t):
+                continue
+            rows.append(r)
+            done.add((r[0], r[1], int(r[2])))
+    return rows, done
+
+
 def _log_cell_error(args, name, method, d, exc):
     """Sidecar diagnosis for nan cells (round-3 advice: a nan row whose
     reason lives only in a scrolled-away stdout is not auditable).
@@ -218,10 +269,19 @@ def run(args):
     registry = methods_registry()
     methods = args.methods.split(",") if args.methods else list(registry)
     dims = [int(x) for x in args.dims.split(",")]
-    rows = []
+    rows, done = (
+        ([], set()) if args.no_resume else _load_done(args.out_dir, args.out_csv)
+    )
+    if done:
+        print(f"[resume] {len(done)} cell(s) already in {args.out_csv}")
     for name in args.datasets.split(","):
         # write partial results as we go so a crash keeps earlier rows
         _flush(args.out_dir, rows, args.out_csv)
+        if all(
+            (name, m, d) in done for m in methods for d in dims
+        ):
+            print(f"[resume] {name}: all cells present — skipping")
+            continue
         path = os.path.join(args.data_dir, f"{name}.reorder.npz")
         if not os.path.exists(path):
             os.makedirs(args.data_dir, exist_ok=True)
@@ -231,6 +291,8 @@ def run(args):
         rng = np.random.default_rng(0)
         for d in dims:
             feat_np = rng.standard_normal((n, d)).astype(np.float32)
+            if all((name, m, d) in done for m in methods):
+                continue
             try:
                 feat = jnp.asarray(feat_np)
                 feat.block_until_ready()
@@ -244,6 +306,8 @@ def run(args):
                     rows.append([name, method, d, float("nan")])
                 continue
             for method in methods:
+                if (name, method, d) in done:
+                    continue
                 try:
                     kw = (
                         {"tag": f"{name}-sweep"}
@@ -299,14 +363,25 @@ def run(args):
                 except Exception as e:
                     print(f"[{method}] {name} d={d}: FAILED ({e})")
                     _log_cell_error(args, name, method, d, e)
-                    rows.append([name, method, d, float("nan")])
+                    rows.append([name, method, d, float("nan"), "", ""])
                     t = None
                 if t is not None:
+                    floor = _cell_floor(
+                        plan, getattr(fn, "variant", None), n, d
+                    )
+                    fl_ms = round(floor, 4) if floor else ""
+                    fl_pct = round(100.0 * floor / t, 1) if floor else ""
                     print(
                         f"[{method}] {name} d={d}: {t:.3f} ms "
-                        f"(diff {diff * 100:.4f}%)"
+                        f"(diff {diff * 100:.4f}%"
+                        + (f", {fl_pct}% of floor" if floor else "")
+                        + ")"
                     )
-                    rows.append([name, method, d, round(t, 4)])
+                    rows.append(
+                        [name, method, d, round(t, 4), fl_ms, fl_pct]
+                    )
+                # write per CELL so a stall-kill retry resumes here
+                _flush(args.out_dir, rows, args.out_csv)
                 # free THIS method's device residency before the next one:
                 # at ogbn-products scale a pinned 2.5 GB tuned plan plus
                 # executables OOM'd every later method in the same cell
@@ -342,8 +417,10 @@ def _flush(out_dir, rows, csv_name="results.csv"):
     out_csv = os.path.join(out_dir, csv_name)
     with open(out_csv, "w", newline="") as f:
         w = csv.writer(f)
-        w.writerow(["dataset", "method", "featdim", "time_ms"])
-        w.writerows(rows)
+        w.writerow(
+            ["dataset", "method", "featdim", "time_ms", "floor_ms", "floor_pct"]
+        )
+        w.writerows((list(r) + ["", ""])[:6] for r in rows)
     return out_csv
 
 
@@ -361,6 +438,12 @@ if __name__ == "__main__":
         "--seed-dim", type=int, default=0,
         help="for Voltrix cells at other dims, race a trimmed space "
         "seeded by this dim's cached winner (see seeded_space)",
+    )
+    p.add_argument(
+        "--no-resume", action="store_true",
+        help="ignore cells already present in --out-csv (default: "
+        "resume — skip measured non-nan cells so watchdog retries "
+        "only pay for what's missing)",
     )
     p.add_argument("--quick", action="store_true")
     args = p.parse_args()

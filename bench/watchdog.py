@@ -58,15 +58,46 @@ PAUSE_FILE = "/tmp/r4_pause"
 PAUSE_STALE_S = 1800.0
 
 
-def _pause_requested() -> bool:
+def _pid_chain_contains(pid: int, ancestor: int) -> bool:
+    """True if `ancestor` is `pid` or on its parent chain."""
+    hops = 0
+    while pid > 1 and hops < 64:
+        if pid == ancestor:
+            return True
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                raw = f.read()
+        except OSError:
+            return False
+        pid = int(raw[raw.rfind(")") + 2:].split()[1])
+        hops += 1
+    return pid == ancestor
+
+
+def _pause_requested(watched_root: int | None = None) -> bool:
     """True while a fresh pause sentinel exists (bench.py creates it so
     the driver's headline capture measures on a QUIET chip; a sentinel
-    older than PAUSE_STALE_S is treated as leaked and ignored)."""
+    older than PAUSE_STALE_S is treated as leaked and ignored).
+
+    The sentinel carries its creator's PID; a pause originating INSIDE
+    the watched tree is ignored — otherwise wrapping bench.py under this
+    watchdog livelocks (kill child -> sentinel leaks -> wait staleness
+    -> retry -> child re-creates sentinel, round-4 advisor finding)."""
     try:
         age = time.time() - os.path.getmtime(PAUSE_FILE)
     except OSError:
         return False
-    return age < PAUSE_STALE_S
+    if age >= PAUSE_STALE_S:
+        return False
+    if watched_root is not None:
+        try:
+            with open(PAUSE_FILE) as f:
+                creator = int(f.read().strip() or "0")
+        except (OSError, ValueError):
+            creator = 0
+        if creator and _pid_chain_contains(creator, watched_root):
+            return False
+    return True
 
 
 def run_once(cmd, stall_sec, poll, timeout, min_jiffies, log):
@@ -94,7 +125,7 @@ def run_once(cmd, stall_sec, poll, timeout, min_jiffies, log):
             if now - t0 > timeout:
                 _kill_group(proc)
                 return None, "timeout"
-            if _pause_requested():
+            if _pause_requested(proc.pid):
                 log("pause sentinel — suspending (resumable sidecars)")
                 _kill_group(proc)
                 return None, "paused"
@@ -193,6 +224,7 @@ def main():
         print(f"[watchdog] {msg}", flush=True)
 
     attempt = 0
+    pauses = 0
     while attempt <= args.retries:
         attempt += 1
         if args.wait_tpu and not wait_tpu(args.wait_tpu, log):
@@ -206,9 +238,12 @@ def main():
         if why == "exit":
             log(f"command exited rc={rc}")
             sys.exit(rc)
-        if why == "paused":
+        if why == "paused" and pauses < 8:
             # a headline capture asked for a quiet chip — wait it out
-            # and retry WITHOUT consuming the retry budget
+            # and retry WITHOUT consuming the retry budget (capped at 8
+            # cycles so a pathological sentinel can never pin this job
+            # forever; beyond the cap a pause consumes a retry)
+            pauses += 1
             attempt -= 1
             while _pause_requested():
                 time.sleep(15)

@@ -660,18 +660,30 @@ def _values_hash(values) -> str:
     return md5.hexdigest()[:16]
 
 
+_CODE_VERSION = None
+
+
 def _code_version() -> str:
     """Hash of the kernel/tuner sources so cache entries invalidate on
-    code change (reference compiler.py:45-59 get_repo_version)."""
-    root = os.path.dirname(os.path.dirname(__file__))
-    md5 = hashlib.md5()
-    for rel in ("ops", "format", "tuner"):
-        d = os.path.join(root, rel)
-        for fname in sorted(os.listdir(d)):
-            if fname.endswith(".py"):
-                with open(os.path.join(d, fname), "rb") as f:
-                    md5.update(f.read())
-    return md5.hexdigest()[:12]
+    code change (reference compiler.py:45-59 get_repo_version).
+
+    Pinned at FIRST call for the process lifetime: a long-running tune
+    whose sources are edited on disk mid-run must keep writing cache
+    entries under the hash of the code it actually imported — hashing
+    the files at every call made such a process write stale winners
+    under the NEW hash (observed round 4: a later run disk-hit them)."""
+    global _CODE_VERSION
+    if _CODE_VERSION is None:
+        root = os.path.dirname(os.path.dirname(__file__))
+        md5 = hashlib.md5()
+        for rel in ("ops", "format", "tuner"):
+            d = os.path.join(root, rel)
+            for fname in sorted(os.listdir(d)):
+                if fname.endswith(".py"):
+                    with open(os.path.join(d, fname), "rb") as f:
+                        md5.update(f.read())
+        _CODE_VERSION = md5.hexdigest()[:12]
+    return _CODE_VERSION
 
 
 def _device_reachable(timeout_s: float = 90.0) -> bool:
@@ -1297,3 +1309,8 @@ spmm_tuner = SpmmTuner()
 
 def tune_spmm(indptr, indices, num_nodes: int, feat, **kwargs) -> TunedSpmm:
     return spmm_tuner.compile_and_tune(indptr, indices, num_nodes, feat, **kwargs)
+
+
+# Pin the code-version hash at import so it reflects the sources this
+# process actually loaded (see _code_version docstring).
+_code_version()
