@@ -112,6 +112,22 @@ def main():
             "pregather", block_h=2048, block_unroll=4, subtile=True,
             feat_dtype="bfloat16", block_d=128,
         ),
+        # round-5 density split: >= 4-full (window, 8-run) groups fetch
+        # as ONE 8-row super-row + exact tail — census says 0.38x
+        # gather rows at 1.16x slots on this graph vs the seg1 plan
+        # (format.density_split_stats)
+        Variant(
+            "hybrid", block_h=2048, gather_segment=8, block_unroll=4,
+            subtile=True, feat_dtype="bfloat16",
+            hybrid_dense="pregather",
+        ),
+        # build-time incidence packing: pure-packed q=4 with the source
+        # permuted by window-incidence order (ratio 1.75 -> 1.31)
+        Variant(
+            "pregather", block_h=2048, block_unroll=4, subtile=True,
+            feat_dtype="bfloat16", gather_segment=4,
+            pack_order="incidence",
+        ),
     ]
     tuned = tune_spmm(
         a.indptr, a.indices, n, feat_np, space=space,

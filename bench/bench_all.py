@@ -188,18 +188,26 @@ def _cell_floor(plan, variant, n: int, d: int):
     ~197 TFLOPs bf16 (the floor model established in docs/RESULTS.md
     rounds 2-3). Returns None for plan shapes without block geometry
     (hybrid/streamed containers)."""
+    sides = []  # (fetched_rows, streamed_lanes, expanded_slots)
     try:
-        gather_rows = int(plan.gather_rows)
-        slots = (
-            int(plan.total_blocks)
-            * int(plan.config.block_h)
-            * int(plan.config.block_w)
-        )
+        if hasattr(plan, "dense") and hasattr(plan, "sparse"):  # hybrid
+            q = plan.dense.config.gather_segment
+            for p, qq in ((plan.dense, q), (plan.sparse, 1)):
+                lanes = int(p.gather_rows)
+                slots = lanes * int(p.config.block_h)
+                sides.append((lanes // qq, lanes, slots))
+        else:
+            lanes = int(plan.gather_rows)
+            q = int(plan.config.gather_segment)
+            fetched = lanes // q if q > 1 else lanes
+            sides.append((fetched, lanes, lanes * int(plan.config.block_h)))
     except (AttributeError, TypeError):
         return None
     feat_bytes = 2 if getattr(variant, "feat_dtype", None) == "bfloat16" else 4
-    bytes_rw = gather_rows * d * feat_bytes + n * d * 4
-    t_traffic = max(gather_rows / 175e6, bytes_rw / 340e9)
+    rows = sum(s[0] for s in sides)
+    bytes_rw = sum(s[1] for s in sides) * d * feat_bytes + n * d * 4
+    slots = sum(s[2] for s in sides)
+    t_traffic = max(rows / 175e6, bytes_rw / 340e9)
     t_mxu = 2.0 * slots * d / 197e12
     return max(t_traffic, t_mxu) * 1e3
 

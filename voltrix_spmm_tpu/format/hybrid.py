@@ -74,11 +74,15 @@ def csr_preprocess_hybrid(
     seg = dense_config.gather_segment
     assert seg >= 2, "hybrid needs a coverage dense_config (gather_segment>1)"
     if sparse_config is None:
+        # inherit the clustering choice: a subtile-skipping dense side
+        # (dense_impl="pregather", ops/hybrid.py) wants the scattered
+        # tail clustered too, or its kernel walks every sub-window
         sparse_config = PlanConfig(
             max(dense_config.block_h, 512),
             dense_config.block_w,
             1,
-            block_unroll=4,
+            block_unroll=max(dense_config.block_unroll, 4),
+            cluster_cols=dense_config.cluster_cols,
         )
     assert sparse_config.gather_segment == 1
     if threshold is None:

@@ -72,12 +72,28 @@ class PlanConfig:
     # lanes by 128-row sub-window signature so the subtile kernel can skip
     # empty (128, K) sub-products (see format/cluster.py); semantics of
     # the plan are unchanged
+    pack_order: str = "natural"  # source-column layout the seg-runs are
+    # aligned in. "incidence": columns sorted at BUILD time by their
+    # window-incidence bitset, so columns that co-occur across windows
+    # land in the same q-run (measured: rmat-17 q=4 run-coverage ratio
+    # 1.75 -> 1.31 vs natural/RCM order). The plan then carries
+    # `src_perm` and the runtime pays one n-row feature permute per call
+    # — trivial next to the plan's gather_rows (see
+    # preprocess.incidence_order).
 
     def __post_init__(self):
         assert self.block_h > 0 and self.block_w > 0
         assert self.gather_segment >= 1
         assert self.block_w % self.gather_segment == 0
         assert self.block_unroll >= 1
+        assert self.pack_order in ("natural", "incidence"), self.pack_order
+        if self.pack_order == "incidence":
+            # at seg=1 the gather fetches exactly the needed lanes in any
+            # order — a permutation changes nothing but adds the n-row
+            # permute, so reject it instead of silently wasting a gather
+            assert self.gather_segment > 1, (
+                "pack_order='incidence' only pays with gather_segment > 1"
+            )
         if self.cluster_cols:
             # seg > 1 clusters lane RUNS as units (run alignment — the
             # packed-gather contract of ops/pallas_spmm._gather_rows —
@@ -118,11 +134,17 @@ class SpmmPlan:
     # with the bitmask; the masked matmul becomes values @ xg (duplicate
     # CSR entries sum, scipy convention). None -> binary SpMM.
     values: object = None
+    # pack_order="incidence" plans: int32 (source_rows,) permutation,
+    # new position -> original source row (Xp = X[src_perm]); `hind`
+    # then indexes the PERMUTED source. None = natural order. Consumers
+    # other than the pregather gather must refuse plans carrying this
+    # (their hind reads would silently fetch renamed rows).
+    src_perm: object = None
 
     def tree_flatten(self):
         children = (
             self.bitmask, self.hind, self.window_of_block, self.block_ptr,
-            self.occ, self.values,
+            self.occ, self.values, self.src_perm,
         )
         aux = (
             self.config,
@@ -137,8 +159,11 @@ class SpmmPlan:
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        bm, hind, wob, bptr, occ, values = children
-        return cls(bm, hind, wob, bptr, *aux, occ=occ, values=values)
+        bm, hind, wob, bptr, occ, values, src_perm = children
+        return cls(
+            bm, hind, wob, bptr, *aux,
+            occ=occ, values=values, src_perm=src_perm,
+        )
 
     # number of padded rows the kernel computes before slicing back to N
     @property
@@ -195,6 +220,8 @@ class SpmmPlan:
             arrays["occ"] = np.asarray(self.occ)
         if self.values is not None:
             arrays["values"] = np.asarray(self.values)
+        if self.src_perm is not None:
+            arrays["src_perm"] = np.asarray(self.src_perm)
         if not path.endswith(".npz"):
             path += ".npz"
         import os
@@ -230,6 +257,7 @@ class SpmmPlan:
                 config=cfg,
                 occ=z["occ"] if "occ" in z else None,
                 values=z["values"] if "values" in z else None,
+                src_perm=z["src_perm"] if "src_perm" in z else None,
                 **meta,
             )
 
@@ -276,24 +304,16 @@ class SpmmPlan:
                 if self.values is None
                 else jax.device_put(np.asarray(self.values))
             ),
+            src_perm=(
+                None
+                if self.src_perm is None
+                else jax.device_put(np.asarray(self.src_perm))
+            ),
         )
 
     def device(self) -> "SpmmPlan":
         """Move array leaves to the default JAX device."""
         return dataclasses.replace(
-            self,
+            self.device_except_bitmask(),
             bitmask=jax.device_put(np.asarray(self.bitmask)),
-            hind=jax.device_put(np.asarray(self.hind)),
-            window_of_block=jax.device_put(np.asarray(self.window_of_block)),
-            block_ptr=jax.device_put(np.asarray(self.block_ptr)),
-            occ=(
-                None
-                if self.occ is None
-                else jax.device_put(np.asarray(self.occ))
-            ),
-            values=(
-                None
-                if self.values is None
-                else jax.device_put(np.asarray(self.values))
-            ),
         )

@@ -89,6 +89,19 @@ def csr_preprocess(
 
             backend = "native" if native_available() else "numpy"
 
+    src_perm = None
+    if config.pack_order == "incidence":
+        # Rename the column space by window-incidence order BEFORE the
+        # layout pass: both backends then see an ordinary CSR whose
+        # seg-runs happen to cover tightly, and the plan records the
+        # permutation so the runtime packs X once per call.
+        src_perm = incidence_order(
+            indptr, indices, num_nodes, config.block_h, num_cols
+        )
+        rank = np.empty(src_perm.shape[0], np.int64)
+        rank[src_perm] = np.arange(src_perm.shape[0])
+        indices = rank[indices]
+
     if backend == "native":
         from ..runtime import native_preprocess
 
@@ -114,6 +127,8 @@ def csr_preprocess(
 
             plan = cluster_window_columns(plan)
             plan.occ = block_occupancy(np.asarray(plan.bitmask))
+    if src_perm is not None:
+        plan.src_perm = src_perm.astype(np.int32)
     return plan
 
 
@@ -329,6 +344,122 @@ def pack_ratios(
     return u, out
 
 
+def incidence_order(
+    indptr,
+    indices,
+    num_nodes: int,
+    block_h: int,
+    num_cols: int | None = None,
+    max_bits: int = 512,
+) -> np.ndarray:
+    """Source-column permutation that tightens q-run coverage.
+
+    Sorts columns lexicographically by their window-incidence bitset
+    (window 0 most significant, natural id as tie-break): columns
+    referenced by EXACTLY the same windows become adjacent — their
+    q-runs are all-or-none per window, i.e. zero coverage waste — and
+    columns with similar incidence share long mask prefixes and land
+    nearby. This keys on co-occurrence directly; frequency order (the
+    obvious proxy) measured nearly no ratio gain (bench/exp_pack_order
+    census: rmat-17 q=4 ratio natural 1.752, freq 1.704, incidence
+    1.312). Reference role: spmm_kernels.cuh:1563-1570 — fewer, wider
+    bulk copies of gathered rows.
+
+    Returns int32 (span,) `order`, new position -> original column
+    (Xp = X[order]). Windows beyond `max_bits` are folded into coarse
+    buckets so the mask table stays bounded (span x max_bits/8 bytes).
+    """
+    indptr = np.asarray(indptr, dtype=np.int64)
+    indices = np.asarray(indices, dtype=np.int64)
+    span = num_cols if num_cols is not None else num_nodes
+    nwin = max(_cdiv(num_nodes, block_h), 1)
+    rows = np.repeat(np.arange(num_nodes, dtype=np.int64), np.diff(indptr))
+    uniq = np.unique((rows // block_h) * span + indices)
+    win = uniq // span
+    col = uniq % span
+    if nwin > max_bits:
+        # coarse buckets keep neighboring windows together so the
+        # lexicographic prefix still reflects locality
+        win = win * max_bits // nwin
+        nwin = max_bits
+    nwords = _cdiv(nwin, 64)
+    masks = np.zeros((span, nwords), np.uint64)
+    np.bitwise_or.at(
+        masks,
+        (col, (win // 64).astype(np.int64)),
+        np.uint64(1) << ((63 - win % 64).astype(np.uint64)),
+    )
+    order = np.lexsort(tuple(masks[:, w] for w in range(nwords - 1, -1, -1)))
+    return order.astype(np.int32)
+
+
+def incidence_pack_ratios(
+    indptr, indices, num_nodes: int, block_h: int, qs=(2, 4, 8)
+) -> dict[int, float]:
+    """`pack_ratios` under the incidence-order column renaming — the
+    gate for pack_order='incidence' tuning candidates (same semantics:
+    covered/needed lane inflation; the gather fetches needed*ratio/q
+    super-rows and the kernel pays ratio more slots)."""
+    indptr = np.asarray(indptr, dtype=np.int64)
+    indices = np.asarray(indices, dtype=np.int64)
+    if indices.shape[0] == 0:
+        return {q: 1.0 for q in qs}
+    span = num_nodes
+    order = incidence_order(indptr, indices, num_nodes, block_h)
+    rank = np.empty(span, np.int64)
+    rank[order] = np.arange(span)
+    rows = np.repeat(np.arange(num_nodes, dtype=np.int64), np.diff(indptr))
+    uniq = np.unique((rows // block_h) * span + rank[indices])
+    u = int(uniq.shape[0])
+    win = uniq // span
+    col = uniq % span
+    out = {}
+    for q in qs:
+        gkey = win * (span // q + 1) + col // q
+        groups = int(np.count_nonzero(np.diff(gkey))) + 1
+        out[q] = q * groups / u
+    return out
+
+
+def density_split_stats(
+    indptr,
+    indices,
+    num_nodes: int,
+    block_h: int,
+    q: int,
+    thresh: int | None = None,
+) -> tuple[float, float]:
+    """(gather_rows_fraction, slot_inflation) of a density-split hybrid
+    (format/hybrid.py with a pregather dense side, ops/hybrid.py):
+    (window, col//q) groups holding >= thresh distinct needed columns
+    are fetched as ONE (q*d)-wide super-row (waste bounded at
+    q/thresh); the rest stay exact single lanes. Both relative to the
+    seg=1 needed-lane count u: gather_rows_fraction = (dense_groups +
+    tail_lanes)/u (the per-row gather-law win), slot_inflation =
+    (q*dense_groups + tail_lanes)/u (the kernel's extra masked-matmul
+    work). Census (bench/exp_pack_order.py, v5e gather law): reddit-
+    proxy h2048 q8 t4 -> rows 0.41x, slots 1.22x; rmat-17 -> rows
+    0.38x, slots 1.16x."""
+    if thresh is None:
+        thresh = max(2, q // 2)
+    indptr = np.asarray(indptr, dtype=np.int64)
+    indices = np.asarray(indices, dtype=np.int64)
+    if indices.shape[0] == 0:
+        return 1.0, 1.0
+    span = num_nodes
+    rows = np.repeat(np.arange(num_nodes, dtype=np.int64), np.diff(indptr))
+    uniq = np.unique((rows // block_h) * span + indices)
+    u = int(uniq.shape[0])
+    gkey = (uniq // span) * (span // q + 1) + (uniq % span) // q
+    # uniq sorted by (win, col) -> gkey nondecreasing
+    boundaries = np.flatnonzero(np.diff(gkey)) + 1
+    counts = np.diff(np.concatenate(([0], boundaries, [u])))
+    dense = counts >= thresh
+    nd = int(dense.sum())
+    tail = int(counts[~dense].sum())
+    return (nd + tail) / u, (nd * q + tail) / u
+
+
 # the fused bulk-DMA kernel is eligible when an h2048/seg128 coverage
 # plan wastes at most this many gather rows per nnz (measured regime
 # boundary; one constant shared by the tuner, the bench harness, and
@@ -448,7 +579,11 @@ def plan_to_dense(plan: SpmmPlan) -> np.ndarray:
     if plan.total_blocks == 0:
         return dense
     bits = expand_bitmask_np(np.asarray(plan.bitmask), W)  # (B, W, K)
-    hind = np.asarray(plan.hind)
+    hind = np.asarray(plan.hind).astype(np.int64)
+    if plan.src_perm is not None:
+        # hind indexes the packed source; map back to original columns
+        perm = np.asarray(plan.src_perm).astype(np.int64)
+        hind = perm[np.clip(hind, 0, perm.shape[0] - 1)]
     wob = np.asarray(plan.window_of_block)
     b_idx, r_idx, l_idx = np.nonzero(bits)
     global_rows = wob[b_idx] * W + r_idx

@@ -52,6 +52,15 @@ def spmm_streamed(plan, feat, *, num_chunks: int = 8, subtile=False, **kwargs):
             "plan carries a value plane; spmm_streamed dispatches the "
             "binary pregather kernel — use ops.spmm(plan, feat)"
         )
+    if subs and getattr(subs[0], "src_perm", None) is not None:
+        # pack_order="incidence": permute the source ONCE for all
+        # chunks (each chunk would otherwise re-pay the n-row gather)
+        import dataclasses as _dc
+
+        feat = jnp.take(
+            feat, jnp.asarray(subs[0].src_perm), axis=0, mode="clip"
+        )
+        subs = [_dc.replace(s, src_perm=None) for s in subs]
     outs = [spmm_pallas(s, feat, subtile=subtile, **kwargs) for s in subs]
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 

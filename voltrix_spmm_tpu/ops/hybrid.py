@@ -1,5 +1,18 @@
-"""Hybrid SpMM: fused kernel on the dense-run part + pregather on the
-scattered tail (see format/hybrid.py)."""
+"""Hybrid SpMM: dense-run part + scattered-exact tail (format/hybrid.py).
+
+Two dense-side executions (raced by the tuner):
+
+- dense_impl="fused": in-kernel bulk-DMA pipeline (spmm_pallas_fused) —
+  wins when runs are long (seg >= 32) and coverage is tight.
+- dense_impl="pregather": the PACKED XLA gather (one (q*d)-wide
+  super-row per q-aligned run, ops/pallas_spmm._gather_rows) feeding
+  the streaming masked-matmul kernel. This is the round-5 density-split
+  design: the v5e gather law is per-ROW bound, so routing only
+  >=threshold-full q-groups through the packed fetch cuts gather rows
+  ~2.4x on reddit-class graphs while bounding slot inflation at
+  seg/threshold (census: bench/exp_pack_order.py; reference role:
+  spmm_kernels.cuh:1563-1570 bulk copies of gathered row sets).
+"""
 
 from __future__ import annotations
 
@@ -20,6 +33,8 @@ def spmm_pallas_hybrid(
     precision=None,
     interpret: bool | None = None,
     out_dtype=None,
+    dense_impl: str = "fused",
+    subtile: bool = False,
 ) -> jax.Array:
     kwargs = dict(
         block_d=block_d,
@@ -28,11 +43,15 @@ def spmm_pallas_hybrid(
         interpret=interpret,
         out_dtype=out_dtype,
     )
+    assert dense_impl in ("fused", "pregather"), dense_impl
     out = None
     if plan.dense.total_blocks > 0:
-        out = spmm_pallas_fused(plan.dense, feat, **kwargs)
+        if dense_impl == "pregather":
+            out = spmm_pallas(plan.dense, feat, subtile=subtile, **kwargs)
+        else:
+            out = spmm_pallas_fused(plan.dense, feat, **kwargs)
     if plan.sparse.total_blocks > 0:
-        sp = spmm_pallas(plan.sparse, feat, **kwargs)
+        sp = spmm_pallas(plan.sparse, feat, subtile=subtile, **kwargs)
         out = sp if out is None else out + sp
     if out is None:
         return jnp.zeros_like(

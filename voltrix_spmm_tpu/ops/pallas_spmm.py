@@ -98,8 +98,16 @@ def _gather_rows(plan: SpmmPlan, feat: jax.Array, d_pad: int) -> jax.Array:
     n = feat.shape[0]
     q = plan.config.gather_segment
     if q == 1:
+        assert plan.src_perm is None  # build-time invariant (PlanConfig)
         hind_flat = jnp.asarray(plan.hind).reshape(-1)
         return jnp.take(feat, hind_flat, axis=0, mode="clip")
+    if plan.src_perm is not None:
+        # pack_order="incidence": physically lay the source out in
+        # incidence order so the q-runs the plan was built against are
+        # contiguous. One n-row gather — trivial next to gather_rows.
+        feat = jnp.take(
+            feat, jnp.asarray(plan.src_perm), axis=0, mode="clip"
+        )
     n_super = _cdiv(n, q)
     if n_super * q != n:
         feat = jnp.pad(feat, ((0, n_super * q - n), (0, 0)))

@@ -189,6 +189,14 @@ def spmm_pallas_fused(
             "plan carries a value plane; spmm_pallas_fused computes the "
             "binary SpMM — use ops.spmm(plan, feat)"
         )
+    if getattr(plan, "src_perm", None) is not None:
+        # hind indexes the PACKED source; this kernel DMAs feat rows by
+        # hind directly and would silently fetch renamed rows. Permute
+        # feat yourself (feat[plan.src_perm]) or use the pregather path.
+        raise ValueError(
+            "pack_order='incidence' plans are pregather-only; "
+            "spmm_pallas_fused reads feat by hind directly"
+        )
     n, d = feat.shape
     assert n == plan.source_rows, (n, plan.source_rows)
     out_rows = plan.num_nodes

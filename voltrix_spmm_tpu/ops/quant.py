@@ -71,6 +71,11 @@ def spmm_pallas_int8(
             "plan carries a value plane; spmm_pallas_int8 computes the "
             "binary SpMM — use ops.spmm(plan, feat)"
         )
+    if getattr(plan, "src_perm", None) is not None:
+        raise ValueError(
+            "pack_order='incidence' plans are pregather-only (hind "
+            "indexes the packed source)"
+        )
     n, d = feat.shape
     assert n == plan.source_rows, (n, plan.source_rows)
     out_rows = plan.num_nodes

@@ -30,6 +30,13 @@ def spmm_reference(plan: SpmmPlan, feat: jax.Array) -> jax.Array:
         return jnp.zeros((plan.num_nodes, d), out_dtype)
     cfg = plan.config
     hind_flat = jnp.asarray(plan.hind).reshape(-1)
+    if getattr(plan, "src_perm", None) is not None:
+        # incidence-packed plans: hind indexes the packed source — this
+        # oracle composes the permutation instead (perf-irrelevant here)
+        perm = jnp.asarray(plan.src_perm)
+        hind_flat = jnp.take(
+            perm, jnp.clip(hind_flat, 0, perm.shape[0] - 1)
+        )
     xg = jnp.take(feat, hind_flat, axis=0, mode="clip").reshape(
         plan.total_blocks, cfg.block_w, d
     )

@@ -61,6 +61,12 @@ class Variant:
     # in this many window chunks so peak HBM is one chunk's gather
     # (reddit-class graphs exceed device memory otherwise; see
     # format/stream.py). None = single dispatch.
+    pack_order: str = "natural"  # "incidence": build-time source
+    # permutation that tightens seg-run coverage (see
+    # format.preprocess.incidence_order); pregather seg>1 only
+    hybrid_dense: str = "fused"  # hybrid only: kernel for the dense-run
+    # side. "pregather" = the packed super-row XLA gather + streaming
+    # masked matmul (the round-5 density-split design, ops/hybrid.py)
 
     @property
     def plan_config(self) -> PlanConfig:
@@ -70,6 +76,7 @@ class Variant:
             self.gather_segment,
             self.block_unroll,
             cluster_cols=self.subtile,
+            pack_order=self.pack_order,
         )
 
     def key(self) -> str:
@@ -78,6 +85,8 @@ class Variant:
             f"u{self.block_unroll}{'st' if self.subtile else ''}"
             f"{'p' + str(self.slots) if self.slots else ''}"
             f"{'c' + str(self.stream_chunks) if self.stream_chunks else ''}"
+            f"{'io' if self.pack_order == 'incidence' else ''}"
+            f"{'hp' if self.hybrid_dense == 'pregather' else ''}"
             f"{'/x' + self.feat_dtype if self.feat_dtype else ''}"
             f"/d{self.block_d}/{self.compute_dtype}"
             f"/{self.precision}/t{self.threshold}"
@@ -161,6 +170,8 @@ def default_space(
     device_mem_bytes: float | None = None,
     pack_ratio2: float | None = None,
     pack_ratio4: float | None = None,
+    split_rows8: float | None = None,
+    split_slots8: float | None = None,
 ) -> list[Variant]:
     """The standard tuning space (the reference's models 0/1/2 analogue).
 
@@ -299,6 +310,25 @@ def default_space(
                         feat_dtype=fdtype, gather_segment=seg,
                     )
                 )
+        # density-split hybrid (round 5): >= q/2-full (window, q-run)
+        # groups fetched as ONE (q*d)-wide super-row, exact lanes for
+        # the scattered tail — cuts per-row gather cost ~2.4x on
+        # reddit-class graphs at bounded slot inflation (census:
+        # format.density_split_stats docstring). Two dispatches, both
+        # clustered-subtile pregather.
+        if (
+            split_rows8 is not None
+            and split_rows8 <= 0.75
+            and (split_slots8 or 99.0) <= 1.35
+        ):
+            space.append(
+                Variant(
+                    "hybrid", block_h=2048, gather_segment=8,
+                    block_unroll=4, subtile=True,
+                    hybrid_dense="pregather",
+                    feat_dtype=None if accurate else "bfloat16",
+                )
+            )
         # edge-per-lane (O(nnz) plan bytes, no bitmask): the scattered
         # ultra-sparse regime where even the h128 binned plan is heavy
         ell_rows = int(nnz * 1.05) if nnz else 0
@@ -360,6 +390,21 @@ def default_space(
             Variant(
                 "pregather", block_h=2048, block_unroll=4,
                 subtile=True, gather_segment=_q,
+                feat_dtype=None if accurate else "bfloat16",
+            )
+        )
+    # density-split hybrid (round 5, see the huge-branch twin): packed
+    # super-rows for dense q-runs + exact tail, no all-or-nothing
+    # pack_ratio gate — the split bounds waste per group by design
+    if (
+        split_rows8 is not None
+        and split_rows8 <= 0.75
+        and (split_slots8 or 99.0) <= 1.35
+    ):
+        space.append(
+            Variant(
+                "hybrid", block_h=2048, gather_segment=8,
+                block_unroll=4, subtile=True, hybrid_dense="pregather",
                 feat_dtype=None if accurate else "bfloat16",
             )
         )
@@ -586,7 +631,10 @@ def _run_variant(variant: Variant, plan, feat, perm=None, inv_perm=None):
             kwargs["slots"] = variant.slots
         out = spmm_pallas_fused(plan, feat, **kwargs)
     elif variant.impl == "hybrid":
-        out = spmm_pallas_hybrid(plan, feat, **kwargs)
+        out = spmm_pallas_hybrid(
+            plan, feat, dense_impl=variant.hybrid_dense,
+            subtile=variant.subtile, **kwargs,
+        )
     elif variant.impl == "int8":
         out = spmm_pallas_int8(plan, feat, block_d=variant.block_d)
     elif variant.impl == "ell":
@@ -790,7 +838,11 @@ class SpmmTuner:
             # O(nnz log nnz) host passes — only on a genuine cache miss
             # (a warm-cache call must stay O(1); the space is unused on
             # memory/disk hits)
-            from ..format.preprocess import coverage_expansion, pack_ratios
+            from ..format.preprocess import (
+                coverage_expansion,
+                density_split_stats,
+                pack_ratios,
+            )
 
             nnz = len(indices)
             if values is not None:
@@ -828,6 +880,7 @@ class SpmmTuner:
                 if rows512 * d_ * 4 > 4 * 2**30
                 else None
             )
+            sr8, ss8 = density_split_stats(indptr, indices, num_nodes, 2048, 8)
             return default_space(
                 d=d_,
                 nnz=nnz,
@@ -838,6 +891,8 @@ class SpmmTuner:
                 gather_rows_2048=rows2048,
                 pack_ratio2=ratios.get(2),
                 pack_ratio4=ratios.get(4),
+                split_rows8=sr8,
+                split_slots8=ss8,
             )
 
         verbose = env_flag(const.PRINT_AUTOTUNE_FLAG)
