@@ -468,3 +468,134 @@ def test_mh_bf16_planes_match_f32(rng):
     np.testing.assert_allclose(
         np.asarray(out16u), np.asarray(out32u), rtol=2e-2, atol=2e-2
     )
+
+
+# ---------------------------------------------------- subtile skipping
+
+
+@pytest.mark.parametrize(
+    "cfg",
+    [
+        PlanConfig(128, 128, block_unroll=2, cluster_cols=True),
+        PlanConfig(256, 128, block_unroll=2, cluster_cols=True),
+    ],
+    ids=["h128", "h256"],
+)
+def test_mh_subtile_forward_matches_full(rng, cfg):
+    # rows of an empty sub-window provably keep their m/l/out state, so
+    # the subtiled walk must be bit-compatible with the full walk on the
+    # SAME clustered plan (and both match the dense oracle)
+    n, heads, dk, dv = 300, 2, 12, 20
+    a = random_graph(rng, n=n, density=0.02, empty_tail=64)
+    plan = csr_preprocess(a.indptr, a.indices, n, cfg)
+    assert plan.occ is not None
+    q, k, v = _qkv_mh(rng, heads, n, dk, dv)
+    full, lse_full = spmm_attention_mh(
+        plan, q, k, v, negative_slope=0.2, return_stats=True
+    )
+    sub, lse_sub = spmm_attention_mh(
+        plan, q, k, v, negative_slope=0.2, return_stats=True, subtile=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(sub), np.asarray(full), rtol=1e-6, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(lse_sub), np.asarray(lse_full), rtol=1e-6, atol=1e-6
+    )
+    for h in range(heads):
+        want = dense_attn(
+            a, q[h], k[h], v[h], 1.0 / dk**0.5, 0.2
+        )
+        np.testing.assert_allclose(
+            np.asarray(sub[h]), np.asarray(want), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_mh_subtile_grad_matches_dense(rng):
+    n, heads, dk, dv = 220, 3, 12, 20
+    a = sp.random(n, n, density=0.03, format="csr", random_state=rng)
+    a.data[:] = 1.0
+    at = a.T.tocsr()
+    plan = csr_preprocess(
+        a.indptr, a.indices, n,
+        PlanConfig(128, 128, block_unroll=2, cluster_cols=True),
+    )
+    plan_t = csr_preprocess(
+        at.indptr, at.indices, n,
+        PlanConfig(256, 128, block_unroll=2, cluster_cols=True),
+    )
+    q, k, v = _qkv_mh(rng, heads, n, dk, dv)
+    w = jnp.asarray(rng.standard_normal((heads, n, dv)).astype(np.float32))
+    scale, slope = 1.0 / dk**0.5, 0.2
+
+    def loss_sub(q, k, v):
+        out = spmm_attention_mh_ad(
+            plan, q, k, v, plan_t=plan_t, scale=scale,
+            negative_slope=slope, subtile=True,
+        )
+        return jnp.sum(out * w)
+
+    def loss_dense(q, k, v):
+        return sum(
+            jnp.sum(dense_attn(a, q[h], k[h], v[h], scale, slope) * w[h])
+            for h in range(heads)
+        )
+
+    got = jax.jit(jax.grad(loss_sub, argnums=(0, 1, 2)))(q, k, v)
+    want = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for g, wv, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(wv), rtol=2e-3, atol=2e-4,
+            err_msg=f"d{name}",
+        )
+
+
+def test_mh_subtile_bf16_planes(rng):
+    n, heads = 200, 2
+    a = random_graph(rng, n=n, density=0.03)
+    plan = csr_preprocess(
+        a.indptr, a.indices, n,
+        PlanConfig(128, 128, block_unroll=2, cluster_cols=True),
+    )
+    q, k, v = _qkv_mh(rng, heads, n, 8, 8)
+    w = jnp.asarray(rng.standard_normal((heads, n, 8)).astype(np.float32))
+
+    def loss(q2, k2, v2):
+        out = spmm_attention_mh_ad(
+            plan, q2, k2, v2, plan_t=plan, negative_slope=0.2,
+            plane_dtype=jnp.bfloat16, subtile=True,
+        )
+        return jnp.sum(out * w)
+
+    g = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(q, k, v)
+
+    def loss_full(q2, k2, v2):
+        # same bf16 planes WITHOUT subtiling — isolates the skip logic
+        # from the (separately tested) bf16 accuracy class
+        out = spmm_attention_mh_ad(
+            plan, q2, k2, v2, plan_t=plan, negative_slope=0.2,
+            plane_dtype=jnp.bfloat16,
+        )
+        return jnp.sum(out * w)
+
+    g_full = jax.jit(jax.grad(loss_full, argnums=(0, 1, 2)))(q, k, v)
+    for a_sub, a_ref in zip(g, g_full):
+        np.testing.assert_allclose(
+            np.asarray(a_sub), np.asarray(a_ref), rtol=1e-5, atol=1e-6
+        )
+
+
+def test_attn_tuner_space_has_subtile_variants():
+    from voltrix_spmm_tpu.tuner.attention import (
+        AttnVariant,
+        attention_default_space,
+    )
+
+    space = attention_default_space()
+    subs = [v for v in space if v.subtile]
+    assert {v.block_h for v in subs} == {512, 1024}
+    assert any(v.plane_dtype == "bfloat16" for v in subs)
+    assert AttnVariant(512, 4, subtile=True).key() != AttnVariant(
+        512, 4
+    ).key()
+    assert AttnVariant(512, 4, subtile=True).plan_config.cluster_cols

@@ -106,13 +106,27 @@ def _lane_select(tile_f32, idx):
     return jnp.sum(jnp.where(lane == idx, tile_f32, 0.0), axis=1)
 
 
+def _group_occupancy(plan):
+    """int32 (num_groups,) sub-window occupancy bitmap, OR'd over each
+    unroll group (same scheme as ops/pallas_spmm's subtile path)."""
+    from .pallas_spmm import _subtile_occupancy
+
+    u = plan.config.block_unroll
+    occ_blocks = (
+        jnp.asarray(plan.occ)
+        if plan.occ is not None
+        else _subtile_occupancy(jnp.asarray(plan.bitmask), u)
+    )
+    occ_group = occ_blocks[::u]
+    for i in range(1, u):
+        occ_group = occ_group | occ_blocks[i::u]
+    return occ_group
+
+
 def _attn_fwd_mh_kernel(
     wob_ref,
-    bitmask_ref,  # (unroll, words, K)
-    q_ref,  # (block_h, pair_w) — head h's [q || 0] slice
-    kv_ref,  # (UK, pair_w) — head h's gathered [k || v] slice
-    out_ref,  # (block_h, pair_w); p@v lands at lanes [dk, dk+dv)
-    *rest,  # [stats_ref] m_scr l_scr
+    *args,  # [occ_ref] bitmask_ref q_ref kv_ref out_ref [stats_ref]
+    #         m_scr l_scr — occ_ref only when nsub > 0
     block_h: int,
     with_stats: bool,
     scale: float,
@@ -120,7 +134,21 @@ def _attn_fwd_mh_kernel(
     compute_dtype,
     precision,
     unroll: int,
+    nsub: int = 0,
 ):
+    """nsub == 0: one full (block_h, UK) online-softmax update per
+    group. nsub > 0: the SpMM subtile trick (VERDICT r4 #3) — with
+    column-clustered plans each group's bits concentrate in few 128-row
+    sub-windows; rows of an empty sub-window provably keep their m/l/out
+    state (empty mask -> m_new = m_old, corr = 1, p = 0), so skipping
+    them skips the VPU bitmask expansion AND the exp() softmax work —
+    the measured per-slot bottleneck of the tall-window attention walk
+    (docs/RESULTS.md round-4 floor analysis)."""
+    if nsub:
+        occ_ref, bitmask_ref, q_ref, kv_ref, out_ref, *rest = args
+    else:
+        bitmask_ref, q_ref, kv_ref, out_ref, *rest = args
+        occ_ref = None
     stats_ref = rest[0] if with_stats else None
     m_scr, l_scr = rest[-2], rest[-1]
     b = pl.program_id(1)
@@ -137,43 +165,70 @@ def _attn_fwd_mh_kernel(
         m_scr[...] = jnp.full_like(m_scr, _NEG)
         l_scr[...] = jnp.zeros_like(l_scr)
 
-    mask_f = jnp.concatenate(
-        [
-            expand_bitmask(bitmask_ref[u], block_h, jnp.float32)
-            for u in range(unroll)
-        ],
-        axis=1,
-    )
-    q = q_ref[...].astype(compute_dtype)
     kv = kv_ref[...].astype(compute_dtype)
-    # q's v-zone is zero, so the full-pair contraction IS q . k
-    s_m, _ = _score_tile(
-        q, kv, mask_f,
-        scale=scale, negative_slope=negative_slope, precision=precision,
-    )
-    m_old = m_scr[:, 0:1]
-    m_new = jnp.maximum(m_old, jnp.max(s_m, axis=1, keepdims=True))
-    corr = jnp.exp(m_old - m_new)
-    p = jnp.exp(s_m - m_new) * mask_f
-    l_new = l_scr[:, 0:1] * corr + jnp.sum(p, axis=1, keepdims=True)
-    # p @ [k || v]: the v-zone columns are the aggregation; the k-zone
-    # columns are pollution the host slice discards
-    pv = jnp.dot(
-        p.astype(compute_dtype),
-        kv,
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    )
-    out_ref[...] = out_ref[...] * corr + pv
-    m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
-    l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    def update(r0, rows, mask_f):
+        # q's v-zone is zero, so the full-pair contraction IS q . k
+        q_t = q_ref[r0 : r0 + rows, :].astype(compute_dtype)
+        s_m, _ = _score_tile(
+            q_t, kv, mask_f,
+            scale=scale, negative_slope=negative_slope,
+            precision=precision,
+        )
+        m_old = m_scr[r0 : r0 + rows, 0:1]
+        m_new = jnp.maximum(m_old, jnp.max(s_m, axis=1, keepdims=True))
+        corr = jnp.exp(m_old - m_new)
+        p = jnp.exp(s_m - m_new) * mask_f
+        l_new = l_scr[r0 : r0 + rows, 0:1] * corr + jnp.sum(
+            p, axis=1, keepdims=True
+        )
+        # p @ [k || v]: the v-zone columns are the aggregation; the
+        # k-zone columns are pollution the host slice discards
+        pv = jnp.dot(
+            p.astype(compute_dtype),
+            kv,
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        out_ref[r0 : r0 + rows, :] = out_ref[r0 : r0 + rows, :] * corr + pv
+        m_scr[r0 : r0 + rows, :] = jnp.broadcast_to(m_new, (rows, 128))
+        l_scr[r0 : r0 + rows, :] = jnp.broadcast_to(l_new, (rows, 128))
+
+    if nsub:
+        occ = occ_ref[b]
+        for s in range(nsub):
+            @pl.when((occ >> s) & 1 != 0)
+            def _(s=s):
+                mask_f = jnp.concatenate(
+                    [
+                        expand_bitmask(
+                            bitmask_ref[u, s * 4 : (s + 1) * 4],
+                            128,
+                            jnp.float32,
+                        )
+                        for u in range(unroll)
+                    ],
+                    axis=1,
+                )
+                update(s * 128, 128, mask_f)
+    else:
+        mask_f = jnp.concatenate(
+            [
+                expand_bitmask(bitmask_ref[u], block_h, jnp.float32)
+                for u in range(unroll)
+            ],
+            axis=1,
+        )
+        update(0, block_h, mask_f)
 
     @pl.when(is_last)
     def _():
-        out_ref[...] = out_ref[...] / jnp.maximum(l_new, 1e-30)
+        l_fin = l_scr[:, 0:1]
+        out_ref[...] = out_ref[...] / jnp.maximum(l_fin, 1e-30)
         if with_stats:
             lse = jnp.where(
-                l_new > 0, m_new + jnp.log(jnp.maximum(l_new, 1e-30)),
+                l_fin > 0,
+                m_scr[:, 0:1] + jnp.log(jnp.maximum(l_fin, 1e-30)),
                 _EMPTY_LSE,
             )
             stats_ref[...] = jnp.broadcast_to(lse, stats_ref.shape)
@@ -197,6 +252,7 @@ def spmm_attention_mh(
     precision=None,
     plane_dtype=None,
     return_stats: bool = False,
+    subtile: bool = False,
     interpret: bool | None = None,
     out_dtype=None,
 ):
@@ -208,7 +264,11 @@ def spmm_attention_mh(
     plane in bf16 (accumulation stays f32; same accuracy class as the
     MXU's default bf16-rounding matmul precision). Returns (H, nq, dv)
     [+ lse (H, padded_nodes) when return_stats]. Heads share scale and
-    slope (same dk per head)."""
+    slope (same dk per head).
+
+    subtile=True skips fully-masked 128-row sub-windows per group (the
+    SpMM occupancy trick; pair with a cluster_cols plan so skipping
+    actually fires). Requires block_h % 128 == 0."""
     assert q.ndim == k.ndim == v.ndim == 3, "mh op takes (H, n, d) stacks"
     H, nq, dk = q.shape
     _, nk, _ = k.shape
@@ -243,27 +303,50 @@ def spmm_attention_mh(
     unroll = cfg.block_unroll
     num_groups = plan.total_blocks // unroll
     uk = unroll * block_w
+    nsub = block_h // 128 if subtile else 0
+    if subtile:
+        assert block_h % 128 == 0, "subtile needs block_h % 128 == 0"
 
-    in_specs = [
-        pl.BlockSpec((unroll, words, block_w), lambda h, b, wob: (b, 0, 0)),
-        pl.BlockSpec((block_h, pair_w), lambda h, b, wob: (wob[b], h)),
-        pl.BlockSpec((uk, pair_w), lambda h, b, wob: (b, h)),
-    ]
+    nsp = 2 if subtile else 1
+    if subtile:
+        in_specs = [
+            pl.BlockSpec(
+                (unroll, words, block_w), lambda h, b, *_: (b, 0, 0)
+            ),
+            pl.BlockSpec((block_h, pair_w), lambda h, b, wob, occ: (wob[b], h)),
+            pl.BlockSpec((uk, pair_w), lambda h, b, *_: (b, h)),
+        ]
+        out_spec0 = pl.BlockSpec(
+            (block_h, pair_w), lambda h, b, wob, occ: (wob[b], h)
+        )
+        stats_spec = pl.BlockSpec(
+            (block_h, 128), lambda h, b, wob, occ: (wob[b], h)
+        )
+    else:
+        in_specs = [
+            pl.BlockSpec(
+                (unroll, words, block_w), lambda h, b, wob: (b, 0, 0)
+            ),
+            pl.BlockSpec((block_h, pair_w), lambda h, b, wob: (wob[b], h)),
+            pl.BlockSpec((uk, pair_w), lambda h, b, wob: (b, h)),
+        ]
+        out_spec0 = pl.BlockSpec(
+            (block_h, pair_w), lambda h, b, wob: (wob[b], h)
+        )
+        stats_spec = pl.BlockSpec(
+            (block_h, 128), lambda h, b, wob: (wob[b], h)
+        )
     out_shapes = [
         jax.ShapeDtypeStruct((plan.padded_nodes, H * pair_w), jnp.float32)
     ]
-    out_specs = [
-        pl.BlockSpec((block_h, pair_w), lambda h, b, wob: (wob[b], h))
-    ]
+    out_specs = [out_spec0]
     if return_stats:
         out_shapes.append(
             jax.ShapeDtypeStruct((plan.padded_nodes, H * 128), jnp.float32)
         )
-        out_specs.append(
-            pl.BlockSpec((block_h, 128), lambda h, b, wob: (wob[b], h))
-        )
+        out_specs.append(stats_spec)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=nsp,
         grid=(H, num_groups),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -281,6 +364,7 @@ def spmm_attention_mh(
         compute_dtype=compute_dtype,
         precision=precision,
         unroll=unroll,
+        nsub=nsub,
     )
     flops = 4 * H * plan.total_blocks * block_h * block_w * pair_w
     bytes_accessed = (
@@ -288,6 +372,9 @@ def spmm_attention_mh(
         + H * plan.total_blocks * words * block_w * 4
         + plan.padded_nodes * H * 2 * pair_w * 4
     )
+    scalar_args = [jnp.asarray(plan.window_of_block)[::unroll]]
+    if subtile:
+        scalar_args.append(_group_occupancy(plan))
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -301,8 +388,7 @@ def spmm_attention_mh(
             transcendentals=H * plan.total_blocks * block_h * block_w,
         ),
         interpret=interpret,
-    )(jnp.asarray(plan.window_of_block)[::unroll], jnp.asarray(plan.bitmask),
-      qf, kvg)
+    )(*scalar_args, jnp.asarray(plan.bitmask), qf, kvg)
 
     out_flat = outs[0]
     if plan.has_empty_windows:
@@ -324,12 +410,7 @@ def spmm_attention_mh(
 
 def _attn_bwd_dq_mh_kernel(
     wob_ref,
-    bitmask_ref,
-    qdo_ref,  # (block_h, pair_w) head slice: [q || dO]
-    kv_ref,  # (UK, pair_w) head slice of the fwd gather: [k || v]
-    stats_ref,  # (block_h, 128) head slice: col 0 lse, col 1 D (f32)
-    dq_ref,  # out (block_h, pair_w); dq at lanes [0, dk)
-    *,
+    *args,  # [occ_ref] bitmask qdo kv stats -> dq
     block_h: int,
     dk: int,
     scale: float,
@@ -337,7 +418,13 @@ def _attn_bwd_dq_mh_kernel(
     compute_dtype,
     precision,
     unroll: int,
+    nsub: int = 0,
 ):
+    if nsub:
+        occ_ref, bitmask_ref, qdo_ref, kv_ref, stats_ref, dq_ref = args
+    else:
+        bitmask_ref, qdo_ref, kv_ref, stats_ref, dq_ref = args
+        occ_ref = None
     b = pl.program_id(1)
     w = wob_ref[b]
     is_first = jnp.logical_or(b == 0, wob_ref[jnp.maximum(b - 1, 0)] != w)
@@ -346,55 +433,72 @@ def _attn_bwd_dq_mh_kernel(
     def _():
         dq_ref[...] = jnp.zeros_like(dq_ref)
 
-    mask_f = jnp.concatenate(
-        [
-            expand_bitmask(bitmask_ref[u], block_h, jnp.float32)
-            for u in range(unroll)
-        ],
-        axis=1,
-    )
-    qdo = qdo_ref[...].astype(jnp.float32)
     kv = kv_ref[...].astype(compute_dtype)
-    mk = _zone_mask(qdo.shape, 0, dk)
-    q_t = (qdo * mk).astype(compute_dtype)
-    do_t = (qdo * (1.0 - mk)).astype(compute_dtype)
-    # q-zone against [k || v]: q.k (dO-zone hits v with zero q lanes)
-    s_m, raw = _score_tile(
-        q_t, kv, mask_f,
-        scale=scale, negative_slope=negative_slope, precision=precision,
-    )
-    lse = stats_ref[:, 0:1]
-    d_row = stats_ref[:, 1:2]
-    p = jnp.exp(s_m - lse) * mask_f
-    # dO-zone against [k || v]: dO.v = dP
-    dp = jax.lax.dot_general(
-        do_t,
-        kv,
-        (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    )
-    ds = p * (dp - d_row)
-    if negative_slope != 1.0:
-        ds = ds * jnp.where(raw > 0, 1.0, negative_slope)
-    draw = (ds * scale).astype(compute_dtype)
-    # draw @ [k || v]: dq in the k-zone, pollution in the v-zone (sliced)
-    dq_ref[...] += jnp.dot(
-        draw, kv, preferred_element_type=jnp.float32, precision=precision
-    )
+
+    def update(r0, rows, mask_f):
+        qdo = qdo_ref[r0 : r0 + rows, :].astype(jnp.float32)
+        mk = _zone_mask(qdo.shape, 0, dk)
+        q_t = (qdo * mk).astype(compute_dtype)
+        do_t = (qdo * (1.0 - mk)).astype(compute_dtype)
+        # q-zone against [k || v]: q.k (dO-zone hits v with zero q lanes)
+        s_m, raw = _score_tile(
+            q_t, kv, mask_f,
+            scale=scale, negative_slope=negative_slope,
+            precision=precision,
+        )
+        lse = stats_ref[r0 : r0 + rows, 0:1]
+        d_row = stats_ref[r0 : r0 + rows, 1:2]
+        p = jnp.exp(s_m - lse) * mask_f
+        # dO-zone against [k || v]: dO.v = dP
+        dp = jax.lax.dot_general(
+            do_t,
+            kv,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        ds = p * (dp - d_row)
+        if negative_slope != 1.0:
+            ds = ds * jnp.where(raw > 0, 1.0, negative_slope)
+        draw = (ds * scale).astype(compute_dtype)
+        # draw @ [k || v]: dq in the k-zone, pollution in the v-zone
+        # (sliced by the host)
+        dq_ref[r0 : r0 + rows, :] += jnp.dot(
+            draw, kv, preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+
+    if nsub:
+        occ = occ_ref[b]
+        for s in range(nsub):
+            @pl.when((occ >> s) & 1 != 0)
+            def _(s=s):
+                mask_f = jnp.concatenate(
+                    [
+                        expand_bitmask(
+                            bitmask_ref[u, s * 4 : (s + 1) * 4],
+                            128,
+                            jnp.float32,
+                        )
+                        for u in range(unroll)
+                    ],
+                    axis=1,
+                )
+                update(s * 128, 128, mask_f)
+    else:
+        mask_f = jnp.concatenate(
+            [
+                expand_bitmask(bitmask_ref[u], block_h, jnp.float32)
+                for u in range(unroll)
+            ],
+            axis=1,
+        )
+        update(0, block_h, mask_f)
 
 
 def _attn_bwd_dkv_mh_kernel(
     wob_ref,
-    bitmask_ref,  # transpose plan
-    kv_ref,  # (block_h_t, pair_w) window's OWN [k || v], head slice
-    qdo_ref,  # (UK_t, pair_w) gathered [q || dO], head slice
-    stats_ref,  # (UK_t, pair_w) gathered stats tail; leading 128 lanes
-    #             hold per-head (lse, D) — f32 at (2h, 2h+1), or bf16
-    #             hi/lo at (4h..4h+3)
-    dk_ref,  # out (block_h_t, pair_w); dK at lanes [0, dk)
-    dv_ref,  # out (block_h_t, pair_w); dV at lanes [dk, dk+dv)
-    *,
+    *args,  # [occ_ref] bitmask kv qdo stats -> dk dv  (transpose plan)
     block_h: int,
     dk: int,
     hi_lo_stats: bool,
@@ -403,7 +507,15 @@ def _attn_bwd_dkv_mh_kernel(
     compute_dtype,
     precision,
     unroll: int,
+    nsub: int = 0,
 ):
+    if nsub:
+        occ_ref, bitmask_ref, kv_ref, qdo_ref, stats_ref, dk_ref, dv_ref = (
+            args
+        )
+    else:
+        bitmask_ref, kv_ref, qdo_ref, stats_ref, dk_ref, dv_ref = args
+        occ_ref = None
     h = pl.program_id(0)
     b = pl.program_id(1)
     w = wob_ref[b]
@@ -414,18 +526,7 @@ def _attn_bwd_dkv_mh_kernel(
         dk_ref[...] = jnp.zeros_like(dk_ref)
         dv_ref[...] = jnp.zeros_like(dv_ref)
 
-    mask_f = jnp.concatenate(
-        [
-            expand_bitmask(bitmask_ref[u], block_h, jnp.float32)
-            for u in range(unroll)
-        ],
-        axis=1,
-    )
-    kv = kv_ref[...].astype(jnp.float32)
     qdo = qdo_ref[...].astype(compute_dtype)
-    mk = _zone_mask(kv.shape, 0, dk)
-    kwin = (kv * mk).astype(compute_dtype)
-    vwin = (kv * (1.0 - mk)).astype(compute_dtype)
     stats = stats_ref[:, :128].astype(jnp.float32)
     if hi_lo_stats:
         lse_lane = _lane_select(stats, 4 * h) + _lane_select(stats, 4 * h + 1)
@@ -436,35 +537,69 @@ def _attn_bwd_dkv_mh_kernel(
         lse_lane = _lane_select(stats, 2 * h)
         d_lane = _lane_select(stats, 2 * h + 1)
 
-    # raw[s, r] = k_s . q_r (k-zone against [q || dO]; dO hits zero k)
-    s_m, raw = _score_tile(
-        kwin, qdo, mask_f,
-        scale=scale, negative_slope=negative_slope, precision=precision,
-    )
-    p = jnp.exp(s_m - lse_lane[None, :]) * mask_f
-    # p @ [q || dO]: dV in the dO-zone, pollution in the q-zone (sliced)
-    dv_ref[...] += jnp.dot(
-        p.astype(compute_dtype),
-        qdo,
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    )
-    # dP[s, r] = v_s . dO_r (v-zone against [q || dO])
-    dp = jax.lax.dot_general(
-        vwin,
-        qdo,
-        (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    )
-    ds = p * (dp - d_lane[None, :])
-    if negative_slope != 1.0:
-        ds = ds * jnp.where(raw > 0, 1.0, negative_slope)
-    draw = (ds * scale).astype(compute_dtype)
-    # draw @ [q || dO]: dK in the q-zone, pollution in the dO-zone
-    dk_ref[...] += jnp.dot(
-        draw, qdo, preferred_element_type=jnp.float32, precision=precision
-    )
+    def update(r0, rows, mask_f):
+        kv = kv_ref[r0 : r0 + rows, :].astype(jnp.float32)
+        mk = _zone_mask(kv.shape, 0, dk)
+        kwin = (kv * mk).astype(compute_dtype)
+        vwin = (kv * (1.0 - mk)).astype(compute_dtype)
+        # raw[s, r] = k_s . q_r (k-zone against [q || dO]; dO hits 0 k)
+        s_m, raw = _score_tile(
+            kwin, qdo, mask_f,
+            scale=scale, negative_slope=negative_slope,
+            precision=precision,
+        )
+        p = jnp.exp(s_m - lse_lane[None, :]) * mask_f
+        # p @ [q || dO]: dV in the dO-zone, pollution in the q-zone
+        dv_ref[r0 : r0 + rows, :] += jnp.dot(
+            p.astype(compute_dtype),
+            qdo,
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        # dP[s, r] = v_s . dO_r (v-zone against [q || dO])
+        dp = jax.lax.dot_general(
+            vwin,
+            qdo,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        ds = p * (dp - d_lane[None, :])
+        if negative_slope != 1.0:
+            ds = ds * jnp.where(raw > 0, 1.0, negative_slope)
+        draw = (ds * scale).astype(compute_dtype)
+        # draw @ [q || dO]: dK in the q-zone, pollution in the dO-zone
+        dk_ref[r0 : r0 + rows, :] += jnp.dot(
+            draw, qdo, preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+
+    if nsub:
+        occ = occ_ref[b]
+        for s in range(nsub):
+            @pl.when((occ >> s) & 1 != 0)
+            def _(s=s):
+                mask_f = jnp.concatenate(
+                    [
+                        expand_bitmask(
+                            bitmask_ref[u, s * 4 : (s + 1) * 4],
+                            128,
+                            jnp.float32,
+                        )
+                        for u in range(unroll)
+                    ],
+                    axis=1,
+                )
+                update(s * 128, 128, mask_f)
+    else:
+        mask_f = jnp.concatenate(
+            [
+                expand_bitmask(bitmask_ref[u], block_h, jnp.float32)
+                for u in range(unroll)
+            ],
+            axis=1,
+        )
+        update(0, block_h, mask_f)
 
 
 def _attn_bwd_mh(
@@ -477,6 +612,7 @@ def _attn_bwd_mh(
     compute_dtype=jnp.float32,
     precision=None,
     plane_dtype=None,
+    subtile: bool = False,
     interpret: bool | None = None,
 ):
     """(dq, dk, dv) stacks for `spmm_attention_mh` — split backward over
@@ -514,21 +650,46 @@ def _attn_bwd_mh(
     unroll = cfg.block_unroll
     num_groups = plan.total_blocks // unroll
     uk = unroll * block_w
-    dq_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(H, num_groups),
-        in_specs=[
+    nsub = block_h // 128 if subtile else 0
+    if subtile:
+        assert block_h % 128 == 0, "subtile needs block_h % 128 == 0"
+    if subtile:
+        dq_in_specs = [
+            pl.BlockSpec(
+                (unroll, words, block_w), lambda h, b, *_: (b, 0, 0)
+            ),
+            pl.BlockSpec(
+                (block_h, pair_w), lambda h, b, wob, occ: (wob[b], h)
+            ),
+            pl.BlockSpec((uk, pair_w), lambda h, b, *_: (b, h)),
+            pl.BlockSpec((block_h, 128), lambda h, b, wob, occ: (wob[b], h)),
+        ]
+        dq_out_specs = [
+            pl.BlockSpec(
+                (block_h, pair_w), lambda h, b, wob, occ: (wob[b], h)
+            ),
+        ]
+    else:
+        dq_in_specs = [
             pl.BlockSpec(
                 (unroll, words, block_w), lambda h, b, wob: (b, 0, 0)
             ),
             pl.BlockSpec((block_h, pair_w), lambda h, b, wob: (wob[b], h)),
             pl.BlockSpec((uk, pair_w), lambda h, b, wob: (b, h)),
             pl.BlockSpec((block_h, 128), lambda h, b, wob: (wob[b], h)),
-        ],
-        out_specs=[
+        ]
+        dq_out_specs = [
             pl.BlockSpec((block_h, pair_w), lambda h, b, wob: (wob[b], h)),
-        ],
+        ]
+    dq_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2 if subtile else 1,
+        grid=(H, num_groups),
+        in_specs=dq_in_specs,
+        out_specs=dq_out_specs,
     )
+    dq_scalars = [jnp.asarray(plan.window_of_block)[::unroll]]
+    if subtile:
+        dq_scalars.append(_group_occupancy(plan))
     (dq_flat,) = pl.pallas_call(
         functools.partial(
             _attn_bwd_dq_mh_kernel,
@@ -539,6 +700,7 @@ def _attn_bwd_mh(
             compute_dtype=compute_dtype,
             precision=precision,
             unroll=unroll,
+            nsub=nsub,
         ),
         grid_spec=dq_spec,
         out_shape=[
@@ -556,7 +718,7 @@ def _attn_bwd_mh(
         ),
         interpret=interpret,
     )(
-        jnp.asarray(plan.window_of_block)[::unroll],
+        *dq_scalars,
         jnp.asarray(plan.bitmask),
         qdo_win,
         kvg,
@@ -610,10 +772,25 @@ def _attn_bwd_mh(
     unroll_t = cfg_t.block_unroll
     num_groups_t = plan_t.total_blocks // unroll_t
     uk_t = unroll_t * bw_t
-    dkv_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(H, num_groups_t),
-        in_specs=[
+    nsub_t = bh_t // 128 if subtile else 0
+    if subtile:
+        assert bh_t % 128 == 0, "subtile needs block_h_t % 128 == 0"
+    if subtile:
+        dkv_in_specs = [
+            pl.BlockSpec(
+                (unroll_t, words_t, bw_t), lambda h, b, *_: (b, 0, 0)
+            ),
+            pl.BlockSpec((bh_t, pair_w), lambda h, b, wob, occ: (wob[b], h)),
+            pl.BlockSpec((uk_t, pair_w), lambda h, b, *_: (b, h)),
+            # the SAME gathered array again, pinned to its stats tail
+            pl.BlockSpec((uk_t, pair_w), lambda h, b, *_: (b, H)),
+        ]
+        dkv_out_specs = [
+            pl.BlockSpec((bh_t, pair_w), lambda h, b, wob, occ: (wob[b], h)),
+            pl.BlockSpec((bh_t, pair_w), lambda h, b, wob, occ: (wob[b], h)),
+        ]
+    else:
+        dkv_in_specs = [
             pl.BlockSpec(
                 (unroll_t, words_t, bw_t), lambda h, b, wob: (b, 0, 0)
             ),
@@ -621,12 +798,20 @@ def _attn_bwd_mh(
             pl.BlockSpec((uk_t, pair_w), lambda h, b, wob: (b, h)),
             # the SAME gathered array again, pinned to its stats tail
             pl.BlockSpec((uk_t, pair_w), lambda h, b, wob: (b, H)),
-        ],
-        out_specs=[
+        ]
+        dkv_out_specs = [
             pl.BlockSpec((bh_t, pair_w), lambda h, b, wob: (wob[b], h)),
             pl.BlockSpec((bh_t, pair_w), lambda h, b, wob: (wob[b], h)),
-        ],
+        ]
+    dkv_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2 if subtile else 1,
+        grid=(H, num_groups_t),
+        in_specs=dkv_in_specs,
+        out_specs=dkv_out_specs,
     )
+    dkv_scalars = [jnp.asarray(plan_t.window_of_block)[::unroll_t]]
+    if subtile:
+        dkv_scalars.append(_group_occupancy(plan_t))
     dk_flat, dv_flat = pl.pallas_call(
         functools.partial(
             _attn_bwd_dkv_mh_kernel,
@@ -638,6 +823,7 @@ def _attn_bwd_mh(
             compute_dtype=compute_dtype,
             precision=precision,
             unroll=unroll_t,
+            nsub=nsub_t,
         ),
         grid_spec=dkv_spec,
         out_shape=[
@@ -660,7 +846,7 @@ def _attn_bwd_mh(
         ),
         interpret=interpret,
     )(
-        jnp.asarray(plan_t.window_of_block)[::unroll_t],
+        *dkv_scalars,
         jnp.asarray(plan_t.bitmask),
         kvw,
         qdo_g,
@@ -682,35 +868,35 @@ def _attn_bwd_mh(
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
 def _spmm_attention_mh_ad(
     plan, plan_t, q, k, v, scale, negative_slope, compute_dtype, precision,
-    plane_dtype,
+    plane_dtype, subtile,
 ):
     return spmm_attention_mh(
         plan, q, k, v,
         scale=scale, negative_slope=negative_slope,
         compute_dtype=compute_dtype, precision=precision,
-        plane_dtype=plane_dtype,
+        plane_dtype=plane_dtype, subtile=subtile,
     )
 
 
 def _mh_ad_fwd(plan, plan_t, q, k, v, scale, negative_slope, compute_dtype,
-               precision, plane_dtype):
+               precision, plane_dtype, subtile):
     if scale is None:
         scale = 1.0 / float(q.shape[2]) ** 0.5
     out, lse = spmm_attention_mh(
         plan, q, k, v,
         scale=scale, negative_slope=negative_slope,
         compute_dtype=compute_dtype, precision=precision,
-        plane_dtype=plane_dtype,
+        plane_dtype=plane_dtype, subtile=subtile,
         return_stats=True,
     )
     return out, (plan, plan_t, q, k, v, out, lse)
 
 
 def _mh_ad_bwd(scale, negative_slope, compute_dtype, precision, plane_dtype,
-               res, g):
+               subtile, res, g):
     plan, plan_t, q, k, v, out, lse = res
     if scale is None:
         scale = 1.0 / float(q.shape[2]) ** 0.5
@@ -718,7 +904,7 @@ def _mh_ad_bwd(scale, negative_slope, compute_dtype, precision, plane_dtype,
         plan, plan_t, q, k, v, out, lse, g,
         scale=scale, negative_slope=negative_slope,
         compute_dtype=compute_dtype, precision=precision,
-        plane_dtype=plane_dtype,
+        plane_dtype=plane_dtype, subtile=subtile,
     )
     from .autodiff import _zero_cotangent
 
@@ -742,6 +928,7 @@ def spmm_attention_mh_ad(
     compute_dtype=jnp.float32,
     precision=None,
     plane_dtype=None,
+    subtile: bool = False,
 ):
     """Differentiable all-head fused attention (gradients for q/k/v
     stacks). Requires the transpose plan: the batched backward is the
@@ -751,7 +938,11 @@ def spmm_attention_mh_ad(
     plane_dtype=jnp.bfloat16 halves gathered-plane traffic in both
     directions; softmax statistics keep f32 accuracy via hi/lo bf16
     splitting. Accuracy class matches the default (bf16-rounding) MXU
-    matmul precision."""
+    matmul precision.
+
+    subtile=True (pair with cluster_cols plans) skips fully-masked
+    128-row sub-windows in all three kernels — the SpMM occupancy trick
+    applied to the online-softmax walk."""
     if plan_t is None:
         raise ValueError(
             "spmm_attention_mh_ad requires plan_t (csr_preprocess of "
@@ -760,5 +951,5 @@ def spmm_attention_mh_ad(
         )
     return _spmm_attention_mh_ad(
         plan, plan_t, q, k, v, scale, negative_slope, compute_dtype,
-        precision, plane_dtype,
+        precision, plane_dtype, subtile,
     )

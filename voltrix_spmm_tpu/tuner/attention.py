@@ -48,14 +48,21 @@ class AttnVariant:
     block_h: int = 128
     block_unroll: int = 4
     plane_dtype: str | None = None  # None (f32) | "bfloat16"
+    subtile: bool = False  # skip fully-masked 128-row sub-windows in all
+    # three kernels (cluster_cols plan + occupancy bitmap — the SpMM
+    # trick applied to the online-softmax walk, VERDICT r4 #3)
 
     @property
     def plan_config(self) -> PlanConfig:
-        return PlanConfig(self.block_h, 128, 1, self.block_unroll)
+        return PlanConfig(
+            self.block_h, 128, 1, self.block_unroll,
+            cluster_cols=self.subtile,
+        )
 
     def key(self) -> str:
         return (
             f"attn/h{self.block_h}u{self.block_unroll}"
+            f"{'st' if self.subtile else ''}"
             f"/{self.plane_dtype or 'float32'}"
         )
 
@@ -78,6 +85,14 @@ def attention_default_space(
     space = [AttnVariant(h, 4) for h in heights]
     if not accurate:
         space += [AttnVariant(h, 4, "bfloat16") for h in heights]
+    # subtile twins at the tall windows, where the occupancy skip has
+    # empty 128-row sub-products to elide (at h128 there is exactly one
+    # sub-window — nothing to skip); the clustered plan costs one extra
+    # host pass, shared across the dtype twins by plan-geometry key
+    for h in (512, 1024):
+        space.append(AttnVariant(h, 4, None, subtile=True))
+        if not accurate:
+            space.append(AttnVariant(h, 4, "bfloat16", subtile=True))
     return space
 
 
@@ -101,6 +116,8 @@ class TunedAttention:
         kw.setdefault("negative_slope", self.negative_slope)
         if self.variant.plane_dtype:
             kw.setdefault("plane_dtype", jnp.dtype(self.variant.plane_dtype))
+        if self.variant.subtile:
+            kw.setdefault("subtile", True)
         return spmm_attention_mh_ad(
             self.plan, q, k, v, plan_t=self.plan_t, **kw
         )
@@ -206,7 +223,7 @@ class AttentionTuner:
         plans: dict[int, tuple] = {}  # geometry-shared plan pairs
         best = None
         for var in space:
-            geo = (var.block_h, var.block_unroll)
+            geo = (var.block_h, var.block_unroll, var.subtile)
             try:
                 if geo not in plans:
                     plan = csr_preprocess(
@@ -227,12 +244,13 @@ class AttentionTuner:
 
                 if mode == "train":
 
-                    def step(c, k_, v_, p=plan, pt=plan_t, d=pdt):
+                    def step(c, k_, v_, p=plan, pt=plan_t, d=pdt,
+                             st=var.subtile):
                         def loss(q2, k2, v2):
                             out = spmm_attention_mh_ad(
                                 p, q2, k2, v2, plan_t=pt,
                                 negative_slope=negative_slope,
-                                plane_dtype=d,
+                                plane_dtype=d, subtile=st,
                             )
                             return jnp.sum(out * (1.0 + 1e-6 * out))
 
@@ -247,10 +265,12 @@ class AttentionTuner:
                     )
                 else:
 
-                    def step(c, k_, v_, p=plan, pt=plan_t, d=pdt):
+                    def step(c, k_, v_, p=plan, pt=plan_t, d=pdt,
+                             st=var.subtile):
                         out = spmm_attention_mh_ad(
                             p, c, k_, v_, plan_t=pt,
                             negative_slope=negative_slope, plane_dtype=d,
+                            subtile=st,
                         )
                         return c + 1e-38 * jnp.sum(out)
 
@@ -289,7 +309,7 @@ class AttentionTuner:
             )
         os.replace(tmp, disk)
 
-        win_geo = (best[0].block_h, best[0].block_unroll)
+        win_geo = (best[0].block_h, best[0].block_unroll, best[0].subtile)
         plan, plan_t = plans[win_geo]
         tuned = TunedAttention(
             plan, plan_t, best[0], best[1], negative_slope,
