@@ -115,18 +115,23 @@ def main():
         # round-5 density split: >= 4-full (window, 8-run) groups fetch
         # as ONE 8-row super-row + exact tail — census says 0.38x
         # gather rows at 1.16x slots on this graph vs the seg1 plan
-        # (format.density_split_stats)
+        # (format.density_split_stats); interleaved layout so the wide
+        # gather is consumed with no flatten copy
         Variant(
-            "hybrid", block_h=2048, gather_segment=8, block_unroll=4,
+            "hybrid", block_h=2048, gather_segment=8, block_unroll=8,
             subtile=True, feat_dtype="bfloat16",
-            hybrid_dense="pregather",
+            hybrid_dense="pregather", ipack=True,
         ),
-        # build-time incidence packing: pure-packed q=4 with the source
-        # permuted by window-incidence order (ratio 1.75 -> 1.31)
+        # interleaved packed q2/q4 (the flatten-free form of the packed
+        # gather; incidence ordering composed on the q4 twin)
+        Variant(
+            "pregather", block_h=2048, block_unroll=4, subtile=True,
+            feat_dtype="bfloat16", gather_segment=2, ipack=True,
+        ),
         Variant(
             "pregather", block_h=2048, block_unroll=4, subtile=True,
             feat_dtype="bfloat16", gather_segment=4,
-            pack_order="incidence",
+            pack_order="incidence", ipack=True,
         ),
     ]
     tuned = tune_spmm(

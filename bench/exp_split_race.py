@@ -43,30 +43,35 @@ def main(args):
     feat = rng.standard_normal((n, args.d)).astype(np.float32)
 
     space = [
-        # round-4 champion geometry (bench.py headline winner family)
+        # round-4 headline champion (s1 u8) + its u4 twin
         Variant(
-            "pregather", block_h=2048, block_unroll=4, subtile=True,
-            feat_dtype="bfloat16", gather_segment=2,
+            "pregather", block_h=2048, block_unroll=8, subtile=True,
+            feat_dtype="bfloat16",
         ),
         Variant(
             "pregather", block_h=2048, block_unroll=4, subtile=True,
             feat_dtype="bfloat16",
         ),
-        # round-5 density split (q8, threshold 4)
+        # round-5 interleaved packed (no flatten copy): pure q2/q4
         Variant(
-            "hybrid", block_h=2048, gather_segment=8, block_unroll=4,
-            subtile=True, feat_dtype="bfloat16", hybrid_dense="pregather",
+            "pregather", block_h=2048, block_unroll=4, subtile=True,
+            feat_dtype="bfloat16", gather_segment=2, ipack=True,
         ),
-        # round-5 incidence-packed pure q4 / q8
+        Variant(
+            "pregather", block_h=2048, block_unroll=4, subtile=True,
+            feat_dtype="bfloat16", gather_segment=4, ipack=True,
+        ),
+        # round-5 density split (q8 t4), interleaved dense side
+        Variant(
+            "hybrid", block_h=2048, gather_segment=8, block_unroll=8,
+            subtile=True, feat_dtype="bfloat16",
+            hybrid_dense="pregather", ipack=True,
+        ),
+        # incidence ordering composed with the interleaved pack
         Variant(
             "pregather", block_h=2048, block_unroll=4, subtile=True,
             feat_dtype="bfloat16", gather_segment=4,
-            pack_order="incidence",
-        ),
-        Variant(
-            "pregather", block_h=2048, block_unroll=4, subtile=True,
-            feat_dtype="bfloat16", gather_segment=8,
-            pack_order="incidence",
+            pack_order="incidence", ipack=True,
         ),
     ]
     tuned = tune_spmm(

@@ -296,3 +296,140 @@ def test_default_space_offers_split_hybrid():
     assert not any(
         v.impl == "hybrid" and v.hybrid_dense == "pregather" for v in space2
     )
+
+
+# ---------------------------------------------- interleaved packed (ipack)
+
+
+def test_ipack_requires_unroll_multiple():
+    with pytest.raises(AssertionError):
+        PlanConfig(128, 128, gather_segment=4, block_unroll=2,
+                   seg_interleaved=True)
+    with pytest.raises(AssertionError):
+        PlanConfig(128, 128, gather_segment=1, seg_interleaved=True)
+
+
+@pytest.mark.parametrize(
+    "seg,unroll", [(2, 2), (2, 4), (4, 4), (8, 8)],
+    ids=["q2u2", "q2u4", "q4u4", "q8u8"],
+)
+@pytest.mark.parametrize("cluster", [False, True], ids=["plain", "cluster"])
+def test_ipack_plan_reconstructs_dense(rng, seg, unroll, cluster):
+    n = 530
+    a = community_csr(rng, n, comm=48)
+    cfg = PlanConfig(
+        128, 128, gather_segment=seg, block_unroll=unroll,
+        cluster_cols=cluster, seg_interleaved=True,
+    )
+    plan = csr_preprocess(a.indptr, a.indices, n, cfg, backend="numpy")
+    dense = plan_to_dense(plan)
+    np.testing.assert_array_equal(
+        dense[:, :n], (a.toarray() != 0).astype(np.uint8)
+    )
+
+
+@pytest.mark.parametrize(
+    "seg,unroll,subtile",
+    [(2, 2, False), (2, 4, True), (4, 4, True), (8, 8, True)],
+    ids=["q2u2", "q2u4st", "q4u4st", "q8u8st"],
+)
+def test_ipack_spmm_matches_oracle(rng, seg, unroll, subtile):
+    from voltrix_spmm_tpu.ops import spmm_pallas
+
+    n, d = 440, 64
+    a = community_csr(rng, n, comm=40)
+    cfg = PlanConfig(
+        128, 128, gather_segment=seg, block_unroll=unroll,
+        cluster_cols=subtile, seg_interleaved=True,
+    )
+    plan = csr_preprocess(a.indptr, a.indices, n, cfg, backend="numpy")
+    feat = rng.standard_normal((n, d)).astype(np.float32)
+    out = np.asarray(spmm_pallas(plan, feat, subtile=subtile))
+    np.testing.assert_allclose(out, spmm_oracle(a, feat), rtol=2e-5, atol=2e-5)
+
+
+def test_ipack_feature_chunking_matches_oracle(rng):
+    # block_d < d exercises the chunk-major wide-row prep
+    from voltrix_spmm_tpu.ops import spmm_pallas
+
+    n, d = 300, 256
+    a = community_csr(rng, n, comm=32)
+    cfg = PlanConfig(
+        128, 128, gather_segment=4, block_unroll=4, seg_interleaved=True
+    )
+    plan = csr_preprocess(a.indptr, a.indices, n, cfg, backend="numpy")
+    feat = rng.standard_normal((n, d)).astype(np.float32)
+    out = np.asarray(spmm_pallas(plan, feat, block_d=128))
+    np.testing.assert_allclose(out, spmm_oracle(a, feat), rtol=2e-5, atol=2e-5)
+
+
+def test_ipack_incidence_compose_matches_oracle(rng):
+    from voltrix_spmm_tpu.ops import spmm_pallas
+
+    n, d = 400, 48
+    a = community_csr(rng, n, comm=32)
+    cfg = PlanConfig(
+        128, 128, gather_segment=4, block_unroll=4, cluster_cols=True,
+        pack_order="incidence", seg_interleaved=True,
+    )
+    plan = csr_preprocess(a.indptr, a.indices, n, cfg, backend="numpy")
+    assert plan.src_perm is not None
+    feat = rng.standard_normal((n, d)).astype(np.float32)
+    out = np.asarray(spmm_pallas(plan, feat, subtile=True))
+    np.testing.assert_allclose(out, spmm_oracle(a, feat), rtol=2e-5, atol=2e-5)
+
+
+def test_ipack_streamed_matches_oracle(rng):
+    from voltrix_spmm_tpu.ops import spmm_streamed
+
+    n, d = 640, 32
+    a = community_csr(rng, n, comm=64)
+    cfg = PlanConfig(
+        128, 128, gather_segment=2, block_unroll=2, seg_interleaved=True
+    )
+    plan = csr_preprocess(a.indptr, a.indices, n, cfg, backend="numpy")
+    feat = rng.standard_normal((n, d)).astype(np.float32)
+    out = np.asarray(spmm_streamed(plan, feat, num_chunks=3))
+    np.testing.assert_allclose(out, spmm_oracle(a, feat), rtol=2e-5, atol=2e-5)
+
+
+def test_ipack_hybrid_via_run_variant(rng):
+    from voltrix_spmm_tpu.tuner import Variant
+    from voltrix_spmm_tpu.tuner.tuner import _run_variant, build_variant_plan
+
+    n, d = 384, 32
+    a = community_csr(rng, n, comm=32)
+    v = Variant(
+        "hybrid", block_h=128, gather_segment=8, block_unroll=8,
+        subtile=True, hybrid_dense="pregather", ipack=True,
+    )
+    plan = build_variant_plan(v, a.indptr, a.indices, n, None, backend="numpy")
+    feat = rng.standard_normal((n, d)).astype(np.float32)
+    import jax.numpy as jnp
+
+    out = np.asarray(_run_variant(v, plan, jnp.asarray(feat)))
+    np.testing.assert_allclose(out, spmm_oracle(a, feat), rtol=2e-5, atol=2e-5)
+
+
+def test_ipack_fused_refuses(rng):
+    from voltrix_spmm_tpu.ops import spmm_pallas_fused
+
+    n = 256
+    a = random_csr(rng, n, 0.05)
+    cfg = PlanConfig(
+        128, 128, gather_segment=2, block_unroll=2, seg_interleaved=True
+    )
+    plan = csr_preprocess(a.indptr, a.indices, n, cfg, backend="numpy")
+    with pytest.raises(ValueError, match="interleaved"):
+        spmm_pallas_fused(plan, np.zeros((n, 32), np.float32))
+
+
+def test_ipack_variant_key_and_config():
+    from voltrix_spmm_tpu.tuner import Variant
+
+    v = Variant(
+        "pregather", block_h=256, gather_segment=4, block_unroll=4,
+        ipack=True,
+    )
+    assert "ik" in v.key()
+    assert v.plan_config.seg_interleaved

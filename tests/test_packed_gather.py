@@ -136,12 +136,20 @@ def test_default_space_packed_gates():
 
     ok = PACK_RATIO_THRESHOLD - 0.1
     bad = PACK_RATIO_THRESHOLD + 0.1
-    assert packed(default_space(d=256, pack_ratio2=ok, pack_ratio4=ok)) == [2, 4]
-    assert packed(default_space(d=256, pack_ratio2=ok, pack_ratio4=bad)) == [2]
+    # each eligible q comes as a (flatten, interleaved) twin pair
+    space = default_space(d=256, pack_ratio2=ok, pack_ratio4=ok)
+    assert packed(space) == [2, 2, 4, 4]
+    for q in (2, 4):
+        assert {
+            v.ipack
+            for v in space
+            if v.impl == "pregather" and v.gather_segment == q
+        } == {False, True}
+    assert packed(default_space(d=256, pack_ratio2=ok, pack_ratio4=bad)) == [2, 2]
     assert packed(default_space(d=256, pack_ratio2=bad, pack_ratio4=bad)) == []
     # super-rows past ~4 KB have no row-count win left: q=4 gated out
     # at bf16 d=1024 (4 * 1024 * 2 > 4096 bytes)
-    assert packed(default_space(d=1024, pack_ratio2=ok, pack_ratio4=ok)) == [2]
+    assert packed(default_space(d=1024, pack_ratio2=ok, pack_ratio4=ok)) == [2, 2]
     # huge regime: packed geometry appears when the h2048 dedup fits
     huge = default_space(
         d=256, nnz=100_000_000, gather_rows=60_000_000,

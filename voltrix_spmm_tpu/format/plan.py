@@ -80,6 +80,15 @@ class PlanConfig:
     # `src_perm` and the runtime pays one n-row feature permute per call
     # — trivial next to the plan's gather_rows (see
     # preprocess.incidence_order).
+    seg_interleaved: bool = False  # seg>1 pregather only: lanes within
+    # each block laid out j-major ([all run-offset-0 lanes | all
+    # offset-1 | ...]) instead of run-major, so the kernel consumes the
+    # (q*d)-wide packed gather DIRECTLY — per-j contiguous mask/xg
+    # slices, q accumulated dots — with NO post-gather flatten. The
+    # flatten copy rewrites the whole gathered array (measured the
+    # dominant cost of packed variants at rmat-17 d256: packed q=2
+    # raced 9.72 ms vs 6.40 ms seg1, bench/exp_split_rmat17.txt).
+    # Incompatible with the fused kernel's run-contiguous DMA layout.
 
     def __post_init__(self):
         assert self.block_h > 0 and self.block_w > 0
@@ -93,6 +102,17 @@ class PlanConfig:
             # permute, so reject it instead of silently wasting a gather
             assert self.gather_segment > 1, (
                 "pack_order='incidence' only pays with gather_segment > 1"
+            )
+        if self.seg_interleaved:
+            assert self.gather_segment > 1, (
+                "seg_interleaved is a packed-gather (seg > 1) layout"
+            )
+            # block-granular interleave: each unroll-group's blocks are
+            # grouped into q offset-planes of unroll//q blocks, so the
+            # kernel's per-j mask is a concat of WHOLE blocks and its
+            # xg slice is block_d-aligned — no Mosaic lane relayouts
+            assert self.block_unroll % self.gather_segment == 0, (
+                "seg_interleaved needs block_unroll % gather_segment == 0"
             )
         if self.cluster_cols:
             # seg > 1 clusters lane RUNS as units (run alignment — the

@@ -127,6 +127,41 @@ def csr_preprocess(
 
             plan = cluster_window_columns(plan)
             plan.occ = block_occupancy(np.asarray(plan.bitmask))
+    if config.seg_interleaved:
+        # Block-granular j-major remap, applied AFTER clustering: within
+        # each unroll-group the m*K runs (m = unroll // q, run-major
+        # across the group's blocks) are redistributed so blocks
+        # [j*m, (j+1)*m) hold offset j of every run — flat group slot
+        # j*m*K + r takes old slot r*q + j. A pure relabeling of
+        # (block, lane) slots inside each group: occupancy, windows,
+        # and semantics are unchanged (the group-level occ OR is
+        # permutation-invariant); only the kernel's per-j block concat
+        # (ops/pallas_spmm ipack path) and the run-head extraction
+        # (first m blocks of each group) depend on it.
+        q, K, u = config.gather_segment, config.block_w, config.block_unroll
+        m = u // q
+        uk = u * K
+        newpos = np.arange(uk)
+        old_of_new = (newpos % (m * K)) * q + newpos // (m * K)
+        hind = np.asarray(plan.hind).reshape(-1, uk)[:, old_of_new]
+        plan.hind = np.ascontiguousarray(hind.reshape(-1, K))
+        bm = np.asarray(plan.bitmask)
+        words = bm.shape[1]
+        bm = (
+            bm.reshape(-1, u, words, K)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, words, uk)[:, :, old_of_new]
+            .reshape(-1, words, u, K)
+            .transpose(0, 2, 1, 3)
+        )
+        plan.bitmask = np.ascontiguousarray(bm.reshape(-1, words, K))
+        if plan.occ is not None:
+            # per-block occupancy moved with the runs; the group-level
+            # OR the kernel consumes is invariant, but keep the stored
+            # per-block bitmap truthful
+            from .cluster import block_occupancy
+
+            plan.occ = block_occupancy(np.asarray(plan.bitmask))
     if src_perm is not None:
         plan.src_perm = src_perm.astype(np.int32)
     return plan

@@ -101,6 +101,9 @@ def _gather_rows(plan: SpmmPlan, feat: jax.Array, d_pad: int) -> jax.Array:
         assert plan.src_perm is None  # build-time invariant (PlanConfig)
         hind_flat = jnp.asarray(plan.hind).reshape(-1)
         return jnp.take(feat, hind_flat, axis=0, mode="clip")
+    # interleaved plans have j-major lanes — this run-major flatten path
+    # would misread them; spmm_pallas routes them to _gather_rows_ipack
+    assert not plan.config.seg_interleaved
     if plan.src_perm is not None:
         # pack_order="incidence": physically lay the source out in
         # incidence order so the q-runs the plan was built against are
@@ -118,16 +121,60 @@ def _gather_rows(plan: SpmmPlan, feat: jax.Array, d_pad: int) -> jax.Array:
     return xg.reshape(-1, d_pad)
 
 
+def _gather_rows_ipack(
+    plan: SpmmPlan, feat: jax.Array, d_pad: int, block_d: int
+) -> jax.Array:
+    """Wide packed gather for seg_interleaved plans: ONE (q*d_pad)-wide
+    super-row per run, consumed by the kernel directly — the flatten
+    reshape of `_gather_rows`'s q>1 path rewrote the whole gathered
+    array and measured as the dominant cost of packed variants
+    (bench/exp_split_rmat17.txt: q=2 raced 9.72 ms vs 6.40 ms seg1 at
+    rmat-17 d256; at reddit scale the copy alone is ~28 ms).
+
+    Returns (TB*K/q, q*d_pad) in group-run order, chunk-major within a
+    row ([c0: x_0..x_{q-1} | c1: ...]) so a (m*K, q*block_d) BlockSpec
+    tile at feature-chunk c is one contiguous slab. The source prep
+    (reshape/transpose of feat) is an n-row pass — trivial next to the
+    gather itself."""
+    n = feat.shape[0]
+    cfg = plan.config
+    q, K, u = cfg.gather_segment, cfg.block_w, cfg.block_unroll
+    m = u // q
+    if plan.src_perm is not None:
+        feat = jnp.take(
+            feat, jnp.asarray(plan.src_perm), axis=0, mode="clip"
+        )
+    n_super = _cdiv(n, q)
+    if n_super * q != n:
+        feat = jnp.pad(feat, ((0, n_super * q - n), (0, 0)))
+    nc = d_pad // block_d
+    fprep = (
+        feat.reshape(n_super, q, nc, block_d)
+        .transpose(0, 2, 1, 3)
+        .reshape(n_super, q * d_pad)
+    )
+    # blocks [0, m) of each group hold offset 0 of every run — their
+    # hind values are the run heads
+    heads = (
+        jnp.asarray(plan.hind).reshape(-1, u * K)[:, : m * K].reshape(-1)
+        // q
+    )
+    return jnp.take(fprep, heads, axis=0, mode="clip")
+
+
 def _spmm_block_kernel(
     wob_ref,  # scalar-prefetch: int32 (num_groups,) window of each group
     bitmask_ref,  # (unroll, words, K) uint32
-    xg_ref,  # (unroll * K, block_d) feat dtype
+    xg_ref,  # (unroll * K, block_d) feat dtype; ipack (seg_interleaved):
+    #          (unroll * K // q, q * block_d) — the wide packed gather
+    #          consumed directly, no flatten
     out_ref,  # (block_h, block_d) float32
     *,
     block_h: int,
     compute_dtype,
     precision,
     unroll: int,
+    ipack_q: int = 1,
 ):
     b = pl.program_id(1)
     w = wob_ref[b]
@@ -138,17 +185,31 @@ def _spmm_block_kernel(
     # along lanes, gathered tiles along rows — amortizes per-step and
     # MXU setup cost (the reference's K=16 block pairing taken further,
     # spmm_kernels.cuh:1531 `i += 2` dual-block loop)
-    mask = jnp.concatenate(
-        [
-            expand_bitmask(bitmask_ref[u], block_h, compute_dtype)
-            for u in range(unroll)
-        ],
-        axis=1,
-    )
+    masks = [
+        expand_bitmask(bitmask_ref[u], block_h, compute_dtype)
+        for u in range(unroll)
+    ]
     xg = xg_ref[...].astype(compute_dtype)
-    contrib = jnp.dot(
-        mask, xg, preferred_element_type=jnp.float32, precision=precision
-    )
+    if ipack_q == 1:
+        contrib = jnp.dot(
+            jnp.concatenate(masks, axis=1), xg,
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+    else:
+        # block-granular j-major layout: blocks [j*m, (j+1)*m) of the
+        # group hold offset j of every run — q accumulated dots, each a
+        # concat of WHOLE expanded blocks against the j-th block_d
+        # slice of the wide gathered rows (see PlanConfig.seg_interleaved)
+        m = unroll // ipack_q
+        bd = xg.shape[1] // ipack_q
+        contrib = None
+        for j in range(ipack_q):
+            mask_j = jnp.concatenate(masks[j * m : (j + 1) * m], axis=1)
+            d_j = jnp.dot(
+                mask_j, xg[:, j * bd : (j + 1) * bd],
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+            contrib = d_j if contrib is None else contrib + d_j
 
     @pl.when(is_first)
     def _():
@@ -171,6 +232,7 @@ def _spmm_subtiled_kernel(
     compute_dtype,
     precision,
     unroll: int,
+    ipack_q: int = 1,
 ):
     """Tall-window variant that skips empty 128-row sub-tiles.
 
@@ -182,7 +244,11 @@ def _spmm_subtiled_kernel(
     (the measured per-step bottleneck at tall windows) and the MXU pass.
     Group-level (not per-block) predication keeps the dot large and the
     branch count at nsub per step; a per-block version measured slower
-    (64 predicated small dots/step ate the savings on v5e)."""
+    (64 predicated small dots/step ate the savings on v5e).
+
+    ipack_q > 1 (seg_interleaved plans): q accumulated dots per
+    occupied sub-window over j-major lane segments — consumes the wide
+    packed gather directly, no flatten (see _spmm_block_kernel)."""
     b = pl.program_id(1)
     w = wob_ref[b]
     prev_w = wob_ref[jnp.maximum(b - 1, 0)]
@@ -198,23 +264,37 @@ def _spmm_subtiled_kernel(
     for s in range(nsub):
         @pl.when((occ >> s) & 1 != 0)
         def _(s=s):
-            mask = jnp.concatenate(
-                [
-                    expand_bitmask(
-                        bitmask_ref[u, s * 4 : (s + 1) * 4],
-                        128,
-                        compute_dtype,
+            masks = [
+                expand_bitmask(
+                    bitmask_ref[u, s * 4 : (s + 1) * 4],
+                    128,
+                    compute_dtype,
+                )
+                for u in range(unroll)
+            ]
+            if ipack_q == 1:
+                out_ref[s * 128 : (s + 1) * 128, :] += jnp.dot(
+                    jnp.concatenate(masks, axis=1),
+                    xg,
+                    preferred_element_type=jnp.float32,
+                    precision=precision,
+                )
+            else:
+                m = unroll // ipack_q
+                bd = xg.shape[1] // ipack_q
+                acc = None
+                for j in range(ipack_q):
+                    mask_j = jnp.concatenate(
+                        masks[j * m : (j + 1) * m], axis=1
                     )
-                    for u in range(unroll)
-                ],
-                axis=1,
-            )
-            out_ref[s * 128 : (s + 1) * 128, :] += jnp.dot(
-                mask,
-                xg,
-                preferred_element_type=jnp.float32,
-                precision=precision,
-            )
+                    d_j = jnp.dot(
+                        mask_j,
+                        xg[:, j * bd : (j + 1) * bd],
+                        preferred_element_type=jnp.float32,
+                        precision=precision,
+                    )
+                    acc = d_j if acc is None else acc + d_j
+                out_ref[s * 128 : (s + 1) * 128, :] += acc
 
 
 def _subtile_occupancy(bitmask, unroll: int):
@@ -285,15 +365,22 @@ def spmm_pallas(
         feat = jnp.pad(feat, ((0, 0), (0, d_pad - d)))
     num_chunks = d_pad // block_d
 
-    xg = _gather_rows(plan, feat, d_pad)
-
     unroll = cfg.block_unroll
     assert plan.total_blocks % unroll == 0, (plan.total_blocks, unroll)
     num_groups = plan.total_blocks // unroll
 
-    xg_spec = pl.BlockSpec(
-        (unroll * block_w, block_d), lambda c, b, *_: (b, c)
-    )
+    ipack_q = cfg.gather_segment if cfg.seg_interleaved else 1
+    if ipack_q > 1:
+        xg = _gather_rows_ipack(plan, feat, d_pad, block_d)
+        xg_spec = pl.BlockSpec(
+            (unroll * block_w // ipack_q, ipack_q * block_d),
+            lambda c, b, *_: (b, c),
+        )
+    else:
+        xg = _gather_rows(plan, feat, d_pad)
+        xg_spec = pl.BlockSpec(
+            (unroll * block_w, block_d), lambda c, b, *_: (b, c)
+        )
 
     if subtile:
         assert block_h % 128 == 0, "subtile needs block_h % 128 == 0"
@@ -317,6 +404,7 @@ def spmm_pallas(
             compute_dtype=compute_dtype,
             precision=precision,
             unroll=unroll,
+            ipack_q=ipack_q,
         )
     else:
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -338,6 +426,7 @@ def spmm_pallas(
             compute_dtype=compute_dtype,
             precision=precision,
             unroll=unroll,
+            ipack_q=ipack_q,
         )
     flops = 2 * plan.total_blocks * block_h * block_w * d_pad
     bytes_accessed = (

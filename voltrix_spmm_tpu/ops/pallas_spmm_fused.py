@@ -189,6 +189,11 @@ def spmm_pallas_fused(
             "plan carries a value plane; spmm_pallas_fused computes the "
             "binary SpMM — use ops.spmm(plan, feat)"
         )
+    if plan.config.seg_interleaved:
+        raise ValueError(
+            "seg_interleaved plans are pregather-only; the fused "
+            "kernel's DMA descriptors assume run-contiguous lanes"
+        )
     if getattr(plan, "src_perm", None) is not None:
         # hind indexes the PACKED source; this kernel DMAs feat rows by
         # hind directly and would silently fetch renamed rows. Permute

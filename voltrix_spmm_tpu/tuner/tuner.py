@@ -67,6 +67,11 @@ class Variant:
     hybrid_dense: str = "fused"  # hybrid only: kernel for the dense-run
     # side. "pregather" = the packed super-row XLA gather + streaming
     # masked matmul (the round-5 density-split design, ops/hybrid.py)
+    ipack: bool = False  # seg>1 pregather: block-granular interleaved
+    # layout — the kernel consumes the (q*d)-wide packed gather
+    # directly (q accumulated dots), eliding the flatten copy that
+    # dominated packed variants (PlanConfig.seg_interleaved). Needs
+    # block_unroll % gather_segment == 0.
 
     @property
     def plan_config(self) -> PlanConfig:
@@ -77,6 +82,7 @@ class Variant:
             self.block_unroll,
             cluster_cols=self.subtile,
             pack_order=self.pack_order,
+            seg_interleaved=self.ipack,
         )
 
     def key(self) -> str:
@@ -87,6 +93,7 @@ class Variant:
             f"{'c' + str(self.stream_chunks) if self.stream_chunks else ''}"
             f"{'io' if self.pack_order == 'incidence' else ''}"
             f"{'hp' if self.hybrid_dense == 'pregather' else ''}"
+            f"{'ik' if self.ipack else ''}"
             f"{'/x' + self.feat_dtype if self.feat_dtype else ''}"
             f"/d{self.block_d}/{self.compute_dtype}"
             f"/{self.precision}/t{self.threshold}"
@@ -280,6 +287,10 @@ def default_space(
         # kernel +65% > gather -12%)
         from ..format.preprocess import PACK_RATIO_THRESHOLD_HUGE
 
+        # packed candidates use the INTERLEAVED layout only at this
+        # scale: the run-major flatten rewrites the whole gathered
+        # array (~28 ms at reddit-proxy volumes) and is strictly
+        # dominated (bench/exp_split_rmat17.txt)
         if (
             r2048 is not None
             and pack_ratio2 is not None
@@ -308,14 +319,16 @@ def default_space(
                         "pregather", block_h=h, block_unroll=4,
                         subtile=sub, stream_chunks=c,
                         feat_dtype=fdtype, gather_segment=seg,
+                        ipack=seg > 1,
                     )
                 )
         # density-split hybrid (round 5): >= q/2-full (window, q-run)
-        # groups fetched as ONE (q*d)-wide super-row, exact lanes for
-        # the scattered tail — cuts per-row gather cost ~2.4x on
-        # reddit-class graphs at bounded slot inflation (census:
-        # format.density_split_stats docstring). Two dispatches, both
-        # clustered-subtile pregather.
+        # groups fetched as ONE (q*d)-wide super-row (interleaved, no
+        # flatten), exact lanes for the scattered tail — cuts per-row
+        # gather cost ~2.4x on reddit-class graphs at bounded slot
+        # inflation (census: format.density_split_stats docstring).
+        # Two dispatches, both clustered-subtile pregather; unroll 8 so
+        # the q=8 interleave keeps whole-block j-planes.
         if (
             split_rows8 is not None
             and split_rows8 <= 0.75
@@ -324,8 +337,8 @@ def default_space(
             space.append(
                 Variant(
                     "hybrid", block_h=2048, gather_segment=8,
-                    block_unroll=4, subtile=True,
-                    hybrid_dense="pregather",
+                    block_unroll=8, subtile=True,
+                    hybrid_dense="pregather", ipack=True,
                     feat_dtype=None if accurate else "bfloat16",
                 )
             )
@@ -393,9 +406,18 @@ def default_space(
                 feat_dtype=None if accurate else "bfloat16",
             )
         )
+        # interleaved twin: same gather volume, no flatten copy
+        space.append(
+            Variant(
+                "pregather", block_h=2048, block_unroll=4,
+                subtile=True, gather_segment=_q, ipack=True,
+                feat_dtype=None if accurate else "bfloat16",
+            )
+        )
     # density-split hybrid (round 5, see the huge-branch twin): packed
-    # super-rows for dense q-runs + exact tail, no all-or-nothing
-    # pack_ratio gate — the split bounds waste per group by design
+    # super-rows for dense q-runs (interleaved) + exact tail, no
+    # all-or-nothing pack_ratio gate — the split bounds waste per
+    # group by design
     if (
         split_rows8 is not None
         and split_rows8 <= 0.75
@@ -404,7 +426,8 @@ def default_space(
         space.append(
             Variant(
                 "hybrid", block_h=2048, gather_segment=8,
-                block_unroll=4, subtile=True, hybrid_dense="pregather",
+                block_unroll=8, subtile=True, hybrid_dense="pregather",
+                ipack=True,
                 feat_dtype=None if accurate else "bfloat16",
             )
         )
