@@ -48,8 +48,19 @@ def voltrix_space(name: str, dim: int):
         )
 
     if name == "reddit":
+        # round-5 challenger at d256: the density-split hybrid with the
+        # interleaved dense side (census: gather law 58 -> 24 ms at
+        # 1.22x slots, format.density_split_stats; no flatten copy).
+        # d512/d1024 stay off — the dense side's wide gather alone
+        # (~9.3M lanes x 1-2 KB) exceeds HBM unstreamed.
+        split = Variant(
+            "hybrid", block_h=2048, gather_segment=8, block_unroll=8,
+            subtile=True, hybrid_dense="pregather", ipack=True,
+            feat_dtype="bfloat16",
+        )
         return {
-            256: [pre(2048, True), pre(2048, True, 8), pre(512, True, 32)],
+            256: [pre(2048, True), pre(2048, True, 8), pre(512, True, 32),
+                  split],
             512: [pre(2048, True), pre(2048, True, 8), pre(2048, True, 16)],
             1024: [pre(2048, True, 8), pre(2048, True, 16), pre(2048, True, 32)],
         }[dim]
