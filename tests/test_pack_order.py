@@ -433,3 +433,39 @@ def test_ipack_variant_key_and_config():
     )
     assert "ik" in v.key()
     assert v.plan_config.seg_interleaved
+
+
+def test_public_spmm_dispatch_round5_layouts(rng):
+    # ops.spmm auto-dispatch must route interleaved / incidence plans
+    # to pregather (seg>=8 used to mean fused) and subtiled hybrids to
+    # the subtile kernels
+    from voltrix_spmm_tpu.ops import spmm
+
+    n, d = 384, 32
+    a = community_csr(rng, n, comm=32)
+    feat = rng.standard_normal((n, d)).astype(np.float32)
+    want = spmm_oracle(a, feat)
+
+    cfg = PlanConfig(
+        128, 128, gather_segment=8, block_unroll=8, cluster_cols=True,
+        seg_interleaved=True,
+    )
+    plan = csr_preprocess(a.indptr, a.indices, n, cfg, backend="numpy")
+    out = np.asarray(spmm(plan, feat))
+    np.testing.assert_allclose(out, want, rtol=2e-5, atol=2e-5)
+
+    inc = PlanConfig(128, 128, gather_segment=4, pack_order="incidence")
+    plan2 = csr_preprocess(a.indptr, a.indices, n, inc, backend="numpy")
+    out2 = np.asarray(spmm(plan2, feat))
+    np.testing.assert_allclose(out2, want, rtol=2e-5, atol=2e-5)
+
+    hp = csr_preprocess_hybrid(
+        a.indptr, a.indices, n,
+        dense_config=PlanConfig(
+            128, 128, gather_segment=8, block_unroll=8,
+            cluster_cols=True, seg_interleaved=True,
+        ),
+        backend="numpy",
+    )
+    out3 = np.asarray(spmm(hp, feat))
+    np.testing.assert_allclose(out3, want, rtol=2e-5, atol=2e-5)

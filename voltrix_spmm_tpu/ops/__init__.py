@@ -100,6 +100,7 @@ def spmm(plan, feat, *, impl: str = "auto", **kwargs):
         return spmm_streamed(plan, feat, subtile=sub, **kwargs)
 
     if isinstance(plan, HybridPlan):
+        kwargs.setdefault("subtile", plan.dense.config.cluster_cols)
         return spmm_pallas_hybrid(plan, feat, **kwargs)
     if isinstance(plan, EllPlan):
         assert impl in ("auto", "ell"), f"EllPlan cannot run impl={impl!r}"
@@ -109,6 +110,13 @@ def spmm(plan, feat, *, impl: str = "auto", **kwargs):
     if impl == "auto":
         if getattr(plan, "values", None) is not None:
             impl = "weighted"
+        elif (
+            plan.config.seg_interleaved
+            or getattr(plan, "src_perm", None) is not None
+        ):
+            # interleaved / incidence-packed layouts are pregather-only
+            # (the fused kernel assumes run-contiguous natural lanes)
+            impl = "pregather"
         else:
             impl = "fused" if plan.config.gather_segment >= 8 else "pregather"
     if impl == "weighted":

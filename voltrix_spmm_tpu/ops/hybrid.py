@@ -33,7 +33,7 @@ def spmm_pallas_hybrid(
     precision=None,
     interpret: bool | None = None,
     out_dtype=None,
-    dense_impl: str = "fused",
+    dense_impl: str = "auto",
     subtile: bool = False,
 ) -> jax.Array:
     kwargs = dict(
@@ -43,6 +43,17 @@ def spmm_pallas_hybrid(
         interpret=interpret,
         out_dtype=out_dtype,
     )
+    if dense_impl == "auto":
+        # interleaved / incidence-packed dense sides are pregather-only
+        # (fused assumes run-contiguous natural lanes); classic coverage
+        # plans keep the fused bulk-DMA default
+        cfg_d = plan.dense.config
+        dense_impl = (
+            "pregather"
+            if cfg_d.seg_interleaved
+            or getattr(plan.dense, "src_perm", None) is not None
+            else "fused"
+        )
     assert dense_impl in ("fused", "pregather"), dense_impl
     out = None
     if plan.dense.total_blocks > 0:
