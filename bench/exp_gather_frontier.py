@@ -122,14 +122,26 @@ def main(args):
         * 0.0 + c[:1],
         feat, hind_dev,
     )
-    # wide2: identical row count, 2x bytes — row-bound if ~equal
-    feat2 = jnp.concatenate([feat, feat], axis=1)
-    bench(
-        "wide2 gather (bf16 2x%d)" % args.d,
-        lambda c, h: jnp.take(c, h, axis=0, mode="clip").sum(axis=0)[None]
-        * 0.0 + c[:1],
-        feat2, hind_dev,
-    )
+    # wideN: identical row count, N x bytes — row-bound if ~equal.
+    # Round-5 rmat-17 result: wide2 measured 4x SLOWER per row (2.66 ->
+    # 11.0 ms), overturning the flat-to-1KB row law and dead-ending the
+    # packed super-row designs; wide4/wide8 chart where (if anywhere)
+    # the wide fetch becomes bandwidth-efficient again.
+    for w in (2, 4, 8):
+        if rows * w * args.d * 2 > 8 * 2**30:
+            print(f"[{name}] wide{w}: skipped (materialized gather "
+                  f"{rows * w * args.d * 2 / 2**30:.1f} GiB exceeds HBM)")
+            continue
+        featw = jnp.concatenate([feat] * w, axis=1)
+        bench(
+            "wide%d gather (bf16 %dx%d)" % (w, w, args.d),
+            lambda c, h: jnp.take(c, h, axis=0, mode="clip").sum(axis=0)[
+                None
+            ]
+            * 0.0 + c[:1],
+            featw, hind_dev,
+        )
+        del featw
     # small-src: same rows from a 64k source — locality-irrelevance probe
     small = feat[: min(n, 65536)]
     hs = jnp.asarray(hind % small.shape[0])
