@@ -17,14 +17,31 @@ def main(args):
     import pandas as pd
 
     df = pd.read_csv(args.results)
-    base = (
-        df[df.method == args.baseline]
-        .set_index(["dataset", "featdim"])["time_ms"]
-        .rename("base_ms")
-    )
+    # per-dataset baseline: the requested one where it ran; else the
+    # strongest independent fallback (reddit-class graphs have no BCOO
+    # cell — every edge-parallel BCOO formulation exceeds HBM — so
+    # CSR-ELL plays the baseline role there, annotated in the title)
+    fallbacks = [args.baseline, "CSR-ELL", "XLA-gather"]
+    base_rows = []
+    base_name = {}
+    for ds, sub in df.groupby("dataset"):
+        for cand in fallbacks:
+            cells = sub[(sub.method == cand) & sub.time_ms.notna()]
+            if len(cells):
+                base_name[ds] = cand
+                base_rows.append(
+                    cells.set_index(["dataset", "featdim"])["time_ms"]
+                )
+                break
+    base = pd.concat(base_rows).rename("base_ms") if base_rows else None
     df = df.join(base, on=["dataset", "featdim"])
     df["speedup"] = df.base_ms / df.time_ms
-    df = df[df.method != args.baseline]
+    df = df[
+        df.apply(
+            lambda r: r.method != base_name.get(r.dataset, args.baseline),
+            axis=1,
+        )
+    ]
 
     datasets = sorted(df.dataset.unique())
     dims = sorted(df.featdim.unique())
@@ -45,8 +62,9 @@ def main(args):
         ax.axhline(1.0, color="k", lw=0.8, ls="--")
         ax.set_xticks([k + width * (len(methods) - 1) / 2 for k in range(len(dims))])
         ax.set_xticklabels([str(v) for v in dims])
-        ax.set_title(ds)
-        ax.set_ylabel(f"speedup vs {args.baseline}")
+        bn = base_name.get(ds, args.baseline)
+        ax.set_title(ds if bn == args.baseline else f"{ds} (vs {bn})")
+        ax.set_ylabel(f"speedup vs {bn}")
     axes[0][0].legend(fontsize=7)
     for k in range(len(datasets), nrows * ncols):
         axes[k // ncols][k % ncols].axis("off")
