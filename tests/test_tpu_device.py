@@ -388,3 +388,76 @@ def test_flash_attention_device(problem):
         argnums=(0, 1, 2),
     )(q, k, v)
     assert all(bool(jnp.isfinite(g).all()) for g in grads)
+
+
+def test_ipack_interleaved_device(problem):
+    # round-5 interleaved packed layout: wide gather consumed directly
+    # (Mosaic-only risks: wide xg tiles, per-j block concats)
+    from voltrix_spmm_tpu.ops import spmm_pallas
+
+    a, feat, oracle = problem
+    plan = csr_preprocess(
+        a.indptr, a.indices, a.shape[0],
+        PlanConfig(
+            512, 128, gather_segment=4, block_unroll=4,
+            cluster_cols=True, seg_interleaved=True,
+        ),
+    ).device()
+    _check(spmm_pallas(plan, jnp.asarray(feat), subtile=True), oracle)
+
+
+def test_incidence_packed_device(problem):
+    # round-5 incidence ordering: src_perm feature permute + packed gather
+    from voltrix_spmm_tpu.ops import spmm
+
+    a, feat, oracle = problem
+    plan = csr_preprocess(
+        a.indptr, a.indices, a.shape[0],
+        PlanConfig(
+            512, 128, gather_segment=2, block_unroll=2,
+            pack_order="incidence",
+        ),
+    ).device()
+    _check(spmm(plan, jnp.asarray(feat)), oracle)
+
+
+def test_split_hybrid_pregather_device(problem):
+    # round-5 density split: interleaved dense side + exact tail via the
+    # public dispatcher (auto dense_impl + inferred subtile)
+    from voltrix_spmm_tpu.format.hybrid import csr_preprocess_hybrid
+    from voltrix_spmm_tpu.ops import spmm
+
+    a, feat, oracle = problem
+    hp = csr_preprocess_hybrid(
+        a.indptr, a.indices, a.shape[0],
+        dense_config=PlanConfig(
+            512, 128, gather_segment=8, block_unroll=8,
+            cluster_cols=True, seg_interleaved=True,
+        ),
+    )
+    hp.dense = hp.dense.device()
+    hp.sparse = hp.sparse.device()
+    _check(spmm(hp, jnp.asarray(feat)), oracle)
+
+
+def test_attention_subtile_device(problem):
+    # subtile attention must be bit-compatible with the full walk on
+    # the REAL Mosaic path (sliced scratch writes, strided word slices)
+    from voltrix_spmm_tpu.ops import spmm_attention_mh
+
+    a, feat, _ = problem
+    n = a.shape[0]
+    rng = np.random.default_rng(11)
+    H, dk, dv = 2, 32, 32
+    q = jnp.asarray(rng.standard_normal((H, n, dk)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((H, n, dk)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((H, n, dv)).astype(np.float32))
+    plan = csr_preprocess(
+        a.indptr, a.indices, n,
+        PlanConfig(512, 128, block_unroll=4, cluster_cols=True),
+    ).device()
+    full = np.asarray(spmm_attention_mh(plan, q, k, v, negative_slope=0.2))
+    sub = np.asarray(
+        spmm_attention_mh(plan, q, k, v, negative_slope=0.2, subtile=True)
+    )
+    np.testing.assert_array_equal(sub, full)
