@@ -142,6 +142,16 @@ def main(args):
             featw, hind_dev,
         )
         del featw
+    # f32 control at the same BYTE width as wide2-bf16: distinguishes a
+    # genuine byte-width penalty from a bf16 (16,128)-tiling artifact
+    featf32 = feat.astype(jnp.float32)
+    bench(
+        "wide1-f32 gather (f32 %d = wide2-bf16 bytes)" % args.d,
+        lambda c, h: jnp.take(c, h, axis=0, mode="clip").sum(axis=0)[None]
+        * 0.0 + c[:1],
+        featf32, hind_dev,
+    )
+    del featf32
     # small-src: same rows from a 64k source — locality-irrelevance probe
     small = feat[: min(n, 65536)]
     hs = jnp.asarray(hind % small.shape[0])
