@@ -93,6 +93,13 @@ def attention_default_space(
         space.append(AttnVariant(h, 4, None, subtile=True))
         if not accurate:
             space.append(AttnVariant(h, 4, "bfloat16", subtile=True))
+    # deeper group unroll at the round-5 winner heights: halves grid
+    # steps / per-step softmax-state overheads (the SpMM headline's u8
+    # lever applied to the attention walk)
+    space.append(AttnVariant(256, 8))
+    if not accurate:
+        space.append(AttnVariant(256, 8, "bfloat16"))
+        space.append(AttnVariant(512, 8, "bfloat16", subtile=True))
     return space
 
 
