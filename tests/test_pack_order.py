@@ -278,8 +278,9 @@ def test_variant_keys_distinguish_new_knobs():
 def test_default_space_offers_split_hybrid():
     from voltrix_spmm_tpu.tuner import default_space
 
+    # width gate: q=8 super-rows must stay under 512 B -> d <= 32 bf16
     space = default_space(
-        d=256, nnz=1_000_000, coverage128=2.0, gather_rows=600_000,
+        d=32, nnz=1_000_000, coverage128=2.0, gather_rows=600_000,
         num_nodes=100_000, pack_ratio2=1.6, pack_ratio4=2.0,
         split_rows8=0.45, split_slots8=1.2,
     )
@@ -290,8 +291,17 @@ def test_default_space_offers_split_hybrid():
     assert len(hybs) == 1 and hybs[0].subtile
     # gate closed -> candidate absent
     space2 = default_space(
-        d=256, nnz=1_000_000, coverage128=2.0, gather_rows=600_000,
+        d=32, nnz=1_000_000, coverage128=2.0, gather_rows=600_000,
         num_nodes=100_000, split_rows8=0.9, split_slots8=1.2,
+    )
+    # and the width gate alone closes it at d=256
+    space3 = default_space(
+        d=256, nnz=1_000_000, coverage128=2.0, gather_rows=600_000,
+        num_nodes=100_000, pack_ratio2=1.6, pack_ratio4=2.0,
+        split_rows8=0.45, split_slots8=1.2,
+    )
+    assert not any(
+        v.impl == "hybrid" and v.hybrid_dense == "pregather" for v in space3
     )
     assert not any(
         v.impl == "hybrid" and v.hybrid_dense == "pregather" for v in space2

@@ -136,8 +136,11 @@ def test_default_space_packed_gates():
 
     ok = PACK_RATIO_THRESHOLD - 0.1
     bad = PACK_RATIO_THRESHOLD + 0.1
-    # each eligible q comes as a (flatten, interleaved) twin pair
-    space = default_space(d=256, pack_ratio2=ok, pack_ratio4=ok)
+    # round-5 width gate: the fetch rate collapses past ~512 B rows
+    # (exp_frontier_rmat-17.txt), so packed candidates only join while
+    # q*d*esz <= 512 — i.e. small d. Each eligible q comes as a
+    # (flatten, interleaved) twin pair.
+    space = default_space(d=64, pack_ratio2=ok, pack_ratio4=ok)
     assert packed(space) == [2, 2, 4, 4]
     for q in (2, 4):
         assert {
@@ -145,14 +148,15 @@ def test_default_space_packed_gates():
             for v in space
             if v.impl == "pregather" and v.gather_segment == q
         } == {False, True}
-    assert packed(default_space(d=256, pack_ratio2=ok, pack_ratio4=bad)) == [2, 2]
-    assert packed(default_space(d=256, pack_ratio2=bad, pack_ratio4=bad)) == []
-    # super-rows past ~4 KB have no row-count win left: q=4 gated out
-    # at bf16 d=1024 (4 * 1024 * 2 > 4096 bytes)
-    assert packed(default_space(d=1024, pack_ratio2=ok, pack_ratio4=ok)) == [2, 2]
+    # d=128 bf16: q2 super-row = 512 B (boundary, in); q4 = 1 KB (out)
+    assert packed(default_space(d=128, pack_ratio2=ok, pack_ratio4=ok)) == [2, 2]
+    assert packed(default_space(d=64, pack_ratio2=ok, pack_ratio4=bad)) == [2, 2]
+    assert packed(default_space(d=64, pack_ratio2=bad, pack_ratio4=bad)) == []
+    # d=256 bf16: every super-row exceeds the fast-fetch width
+    assert packed(default_space(d=256, pack_ratio2=ok, pack_ratio4=ok)) == []
     # huge regime: packed geometry appears when the h2048 dedup fits
     huge = default_space(
-        d=256, nnz=100_000_000, gather_rows=60_000_000,
+        d=128, nnz=100_000_000, gather_rows=60_000_000,
         num_nodes=250_000, gather_rows_2048=10_000_000,
         device_mem_bytes=12 * 2**30, pack_ratio2=ok, pack_ratio4=bad,
     )

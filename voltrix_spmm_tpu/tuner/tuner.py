@@ -291,17 +291,22 @@ def default_space(
         # scale: the run-major flatten rewrites the whole gathered
         # array (~28 ms at reddit-proxy volumes) and is strictly
         # dominated (bench/exp_split_rmat17.txt)
+        # round-5 width gate (exp_frontier_rmat-17.txt): the fetch rate
+        # collapses past ~512 B rows, so packed candidates only join
+        # while the q-super-row stays in the fast regime (bf16 storage
+        # is the huge-regime default -> 2 bytes/lane)
         if (
             r2048 is not None
             and pack_ratio2 is not None
             and pack_ratio2 <= PACK_RATIO_THRESHOLD_HUGE
+            and (d or 0) * 2 * 2 <= 512
         ):
             geometries.append((2048, int(r2048 * pack_ratio2), True, 2))
         if (
             r2048 is not None
             and pack_ratio4 is not None
             and pack_ratio4 <= PACK_RATIO_THRESHOLD_HUGE
-            and (d or 0) * 2 * 4 <= 2048  # bf16 super-rows <= ~2 KB
+            and (d or 0) * 4 * 2 <= 512
         ):
             geometries.append((2048, int(r2048 * pack_ratio4), True, 4))
         for h, rows_h, sub, seg in geometries:
@@ -333,6 +338,7 @@ def default_space(
             split_rows8 is not None
             and split_rows8 <= 0.75
             and (split_slots8 or 99.0) <= 1.35
+            and (d or 0) * 8 * 2 <= 512  # fast-fetch width gate
         ):
             space.append(
                 Variant(
@@ -388,14 +394,21 @@ def default_space(
     from ..format.preprocess import PACK_RATIO_THRESHOLD
 
     _esz = 2 if not accurate else 4
+    # round-5 width gate: the v5e fetch rate COLLAPSES past ~512 B rows
+    # (2x width measured 4x slower per row, exp_frontier_rmat-17.txt),
+    # so packed q-runs only pay while the super-row stays in the fast
+    # width regime — q*d*esz <= 512 B (d <= 128 bf16 at q2)
     _packed = []
-    if pack_ratio2 is not None and pack_ratio2 <= PACK_RATIO_THRESHOLD:
+    if (
+        pack_ratio2 is not None
+        and pack_ratio2 <= PACK_RATIO_THRESHOLD
+        and (d or 0) * 2 * _esz <= 512
+    ):
         _packed.append(2)
     if (
         pack_ratio4 is not None
         and pack_ratio4 <= PACK_RATIO_THRESHOLD
-        and (d or 0) * 4 * _esz <= 4096  # super-rows past ~4 KB are
-        # purely BW-bound: no row-count win left, only coverage waste
+        and (d or 0) * 4 * _esz <= 512
     ):
         _packed.append(4)
     for _q in _packed:
@@ -417,11 +430,13 @@ def default_space(
     # density-split hybrid (round 5, see the huge-branch twin): packed
     # super-rows for dense q-runs (interleaved) + exact tail, no
     # all-or-nothing pack_ratio gate — the split bounds waste per
-    # group by design
+    # group by design. Width-gated like the packed candidates: the q=8
+    # super-row must stay under the ~512 B fast-fetch regime
     if (
         split_rows8 is not None
         and split_rows8 <= 0.75
         and (split_slots8 or 99.0) <= 1.35
+        and (d or 0) * 8 * _esz <= 512
     ):
         space.append(
             Variant(
