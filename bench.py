@@ -112,26 +112,15 @@ def main():
             "pregather", block_h=2048, block_unroll=4, subtile=True,
             feat_dtype="bfloat16", block_d=128,
         ),
-        # round-5 density split: >= 4-full (window, 8-run) groups fetch
-        # as ONE 8-row super-row + exact tail — census says 0.38x
-        # gather rows at 1.16x slots on this graph vs the seg1 plan
-        # (format.density_split_stats); interleaved layout so the wide
-        # gather is consumed with no flatten copy
-        Variant(
-            "hybrid", block_h=2048, gather_segment=8, block_unroll=8,
-            subtile=True, feat_dtype="bfloat16",
-            hybrid_dense="pregather", ipack=True,
-        ),
-        # interleaved packed q2/q4 (the flatten-free form of the packed
-        # gather; incidence ordering composed on the q4 twin)
+        # round-5 closest challenger for the record: interleaved packed
+        # q2 (flatten-free). The full round-5 design race — density
+        # split, incidence ordering, q4 — lives in
+        # bench/exp_split_rmat17_v2.txt; all lost to seg1-u8 via the
+        # wide-fetch penalty (docs/DESIGN.md round-5 revision), so only
+        # this representative stays in the headline space.
         Variant(
             "pregather", block_h=2048, block_unroll=4, subtile=True,
             feat_dtype="bfloat16", gather_segment=2, ipack=True,
-        ),
-        Variant(
-            "pregather", block_h=2048, block_unroll=4, subtile=True,
-            feat_dtype="bfloat16", gather_segment=4,
-            pack_order="incidence", ipack=True,
         ),
     ]
     tuned = tune_spmm(
