@@ -172,8 +172,10 @@ def wait_tpu(max_wait_s: float, log) -> bool:
     first = True
     while time.time() < deadline:
         try:
+            # 240s: the relay handshake alone has measured ~100s wall on a
+            # healthy chip (session 3) — a 90s cap declared "down" forever.
             r = subprocess.run(
-                [sys.executable, "-c", code], capture_output=True, timeout=90
+                [sys.executable, "-c", code], capture_output=True, timeout=240
             )
             if r.returncode == 0:
                 return True
