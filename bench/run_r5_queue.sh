@@ -50,6 +50,22 @@ while :; do
   bash -c "$cmd"
   rc=$?
   echo "[$(stamp)] <<< rc=$rc — $msg"
+  # One runner-level retry pass: a job the watchdog gave up on (e.g. a
+  # 45-min relay outage exhausting --wait-tpu) goes to the queue TAIL
+  # once instead of silently leaving the plan of record. The [requeued]
+  # marker caps this at a single extra pass per line.
+  if [ "$rc" -ne 0 ]; then
+    case "$msg" in
+      *"[requeued]"*) echo "[$(stamp)] dropping twice-failed line: $msg" ;;
+      *)
+        echo "[$(stamp)] re-queuing failed line at tail"
+        (
+          flock 8
+          printf '%s [requeued] :: %s\n' "$msg" "$cmd" >> "$Q"
+        ) 8>/tmp/r4_q.lock
+        ;;
+    esac
+  fi
   : > "$INFLIGHT"
   (
     flock 9
