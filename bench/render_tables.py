@@ -44,31 +44,35 @@ def load(path):
 
 def main(args):
     cells = load(args.results)
+    dims = (
+        [args.dim] if args.dim else [256, 512, 1024]
+    )
     print(f"| dataset | d | Voltrix | baseline | speedup | %-of-floor |")
     print("|---|---|---|---|---|---|")
     for ds in REF_DATASETS:
-        vx = cells.get((ds, "Voltrix", args.dim))
-        base = None
-        for b in BASELINES:
-            if (ds, b, args.dim) in cells:
-                t = cells[(ds, b, args.dim)][0]
-                if base is None or t < base[1]:
-                    base = (b, t)
-        if vx and base:
-            fl = f"{vx[1]}%" if vx[1] else "—"
-            print(
-                f"| {ds}-proxy | {args.dim} | {vx[0]:.3f} ms | "
-                f"{base[1]:.1f} ms ({base[0]}) | "
-                f"**{base[1] / vx[0]:.1f}×** | {fl} |"
-            )
-        else:
-            missing = []
-            if not vx:
-                missing.append("Voltrix")
-            if not base:
-                missing.append("baseline")
-            print(f"| {ds}-proxy | {args.dim} | — | — | missing: "
-                  f"{','.join(missing)} | — |")
+        for dim in dims:
+            vx = cells.get((ds, "Voltrix", dim))
+            base = None
+            for b in BASELINES:
+                if (ds, b, dim) in cells:
+                    t = cells[(ds, b, dim)][0]
+                    if base is None or t < base[1]:
+                        base = (b, t)
+            if vx and base:
+                fl = f"{vx[1]}%" if vx[1] else "—"
+                print(
+                    f"| {ds}-proxy | {dim} | {vx[0]:.3f} ms | "
+                    f"{base[1]:.1f} ms ({base[0]}) | "
+                    f"**{base[1] / vx[0]:.1f}×** | {fl} |"
+                )
+            else:
+                missing = []
+                if not vx:
+                    missing.append("Voltrix")
+                if not base:
+                    missing.append("baseline")
+                print(f"| {ds}-proxy | {dim} | — | — | missing: "
+                      f"{','.join(missing)} | — |")
     # coverage summary
     total = have = 0
     holes = []
@@ -92,6 +96,9 @@ if __name__ == "__main__":
     p.add_argument(
         "--results", default=os.path.join(here, "results_real_all.csv")
     )
-    p.add_argument("--dim", type=int, default=256)
+    p.add_argument(
+        "--dim", type=int, default=0,
+        help="single featdim to render (default: all of 256/512/1024)",
+    )
     args = p.parse_args()
     main(args)
