@@ -180,6 +180,48 @@ def seeded_space(name: str, n: int, seed_dim: int, target_dim: int):
     return space
 
 
+def champion_space(d: int):
+    """Curated regime-champion space for budget-bounded races whose
+    seed-dim cache entry is gone (the session-3 VM rotation dropped the
+    round-4 tune winners). A truncated DEFAULT-space race under
+    VOLTRIX_TPU_BENCH_BUDGET_S measures the first ~2 gate-ordered
+    candidates, and the gate order is not champion-first: the protein
+    d256 race found its 3.3x winner (h2048 subtile) at candidate 7 of
+    10. This space instead opens with the measured champions of both
+    regimes (rounds 2-5, docs/RESULTS.md): tall clustered-subtile
+    pregather for community/dense graphs (reddit 100.65 ms, protein
+    75.8 ms) and short-window pregather for scattered power-law graphs
+    (rmat-17 6.23 ms), plus streamed twins for d512/1024 residency and
+    the coverage-gated fused bulk-DMA champion for uniform graphs.
+    Invalid candidates (coverage gate, VMEM, HBM) are dropped by the
+    tuner's validity filter as usual; the explicit space gets its own
+    cache identity (tuner smark), so default-space entries are never
+    polluted."""
+    import dataclasses
+
+    from voltrix_spmm_tpu.tuner import Variant
+
+    tall = Variant(
+        "pregather", block_h=2048, block_unroll=4, subtile=True,
+        feat_dtype="bfloat16",
+    )
+    short = Variant(
+        "pregather", block_h=128, block_unroll=4, feat_dtype="bfloat16"
+    )
+    space = [
+        tall,
+        short,
+        dataclasses.replace(short, stream_chunks=64),
+        dataclasses.replace(tall, stream_chunks=16),
+        Variant(
+            "pregather", block_h=512, block_unroll=4, subtile=True,
+            feat_dtype="bfloat16",
+        ),
+        Variant("fused", block_h=2048, gather_segment=128, block_unroll=4),
+    ]
+    return space
+
+
 def _cell_floor(plan, variant, n: int, d: int):
     """Per-cell speed-of-light in ms for THIS plan on a v5e, so 'fast'
     is auditable per grid cell (VERDICT r4 #7): overlapped max of the
@@ -332,6 +374,21 @@ def run(args):
                             print(
                                 f"[Voltrix] {name} d={d}: seeded space "
                                 f"from d{args.seed_dim} winner: "
+                                + ", ".join(
+                                    v.key() for v in kw["seed_space"]
+                                )
+                            )
+                        elif os.environ.get("VOLTRIX_TPU_BENCH_BUDGET_S"):
+                            # no seed winner on disk AND a race budget:
+                            # a budget-truncated default race measures
+                            # the first ~2 gate-ordered candidates,
+                            # which is not champion-first — race the
+                            # curated regime champions instead
+                            kw["seed_space"] = champion_space(d)
+                            print(
+                                f"[Voltrix] {name} d={d}: no "
+                                f"d{args.seed_dim} seed entry; racing "
+                                "champion space under budget: "
                                 + ", ".join(
                                     v.key() for v in kw["seed_space"]
                                 )
