@@ -228,11 +228,20 @@ def _cell_floor(plan, variant, n: int, d: int):
     measured gather law — max(rows/175e6 row-issue, bytes_rw/340e9
     HBM) — and the MXU time over the plan's expanded block slots at
     ~197 TFLOPs bf16 (the floor model established in docs/RESULTS.md
-    rounds 2-3). Returns None for plan shapes without block geometry
-    (hybrid/streamed containers)."""
+    rounds 2-3). Streamed winners (list of window-slice plans) sum
+    their slices; returns None only for shapes without block
+    geometry."""
     sides = []  # (fetched_rows, streamed_lanes, expanded_slots)
     try:
-        if hasattr(plan, "dense") and hasattr(plan, "sparse"):  # hybrid
+        if isinstance(plan, (list, tuple)):  # streamed window slices
+            for p in plan:
+                lanes = int(p.gather_rows)
+                q = int(p.config.gather_segment)
+                sides.append(
+                    (lanes // q if q > 1 else lanes, lanes,
+                     lanes * int(p.config.block_h))
+                )
+        elif hasattr(plan, "dense") and hasattr(plan, "sparse"):  # hybrid
             q = plan.dense.config.gather_segment
             for p, qq in ((plan.dense, q), (plan.sparse, 1)):
                 lanes = int(p.gather_rows)
