@@ -34,35 +34,20 @@ def wait_for_tpu(max_wait_s: float = 600.0) -> bool:
     return False
 
 
-def main():
-    import numpy as np
+def headline_space(d: int = 256):
+    """The headline tuning space, exposed at module level so
+    bench/seed_headline_cache.py can rebuild the exact cache identity
+    (the space hash is part of the tuner's disk signature) after a VM
+    rotation wipes ~/.voltrix_spmm_tpu.
 
-    sys.path.insert(0, ".")
-    from voltrix_spmm_tpu.data import reorder_rcm, rmat_csr, symmetrize
-    from voltrix_spmm_tpu.ops.baselines import make_bcoo_spmm
-    from voltrix_spmm_tpu.tuner import Variant, tune_spmm
-    from voltrix_spmm_tpu.utils import device_loop_bench
+    f32/bf16 only: bf16 storage/MXU inputs are the same accuracy class
+    as the reference's tf32 tensor cores vs fp32 cuSPARSE, so the
+    comparison against fp32 BCOO stays apples-to-apples (int8 is
+    reported in bench/bench_all.py, not the headline). The winner's
+    difference rate vs the f32 oracle is reported in `detail`."""
+    from voltrix_spmm_tpu.tuner import Variant
 
-    import jax.numpy as jnp
-
-    scale, avg_deg, d = 17, 16, 256  # 131072 nodes, ~3.7M undirected edges
-    a = symmetrize(rmat_csr(scale, avg_deg, seed=0))
-    # RCM measured fastest end-to-end here despite degree-sort gathering
-    # ~19% fewer rows — the access pattern matters, not just volume
-    a, _ = reorder_rcm(a)
-    order_name = "rcm"
-    n, nnz = a.shape[0], a.nnz
-
-    rng = np.random.default_rng(0)
-    feat_np = rng.standard_normal((n, d)).astype(np.float32)
-    feat = jnp.asarray(feat_np)
-
-    # f32/bf16 only: bf16 storage/MXU inputs are the same accuracy class
-    # as the reference's tf32 tensor cores vs fp32 cuSPARSE, so the
-    # comparison against fp32 BCOO stays apples-to-apples (int8 is
-    # reported in bench/bench_all.py, not the headline). The winner's
-    # difference rate vs the f32 oracle is reported in `detail`.
-    space = [
+    return [
         Variant("pregather", block_h=2048, block_unroll=4),
         Variant("pregather", block_h=2048, block_unroll=4, subtile=True),
         Variant("pregather", block_h=2048, block_unroll=4, feat_dtype="bfloat16"),
@@ -123,6 +108,32 @@ def main():
             feat_dtype="bfloat16", gather_segment=2, ipack=True,
         ),
     ]
+
+
+def main():
+    import numpy as np
+
+    sys.path.insert(0, ".")
+    from voltrix_spmm_tpu.data import reorder_rcm, rmat_csr, symmetrize
+    from voltrix_spmm_tpu.ops.baselines import make_bcoo_spmm
+    from voltrix_spmm_tpu.tuner import tune_spmm
+    from voltrix_spmm_tpu.utils import device_loop_bench
+
+    import jax.numpy as jnp
+
+    scale, avg_deg, d = 17, 16, 256  # 131072 nodes, ~3.7M undirected edges
+    a = symmetrize(rmat_csr(scale, avg_deg, seed=0))
+    # RCM measured fastest end-to-end here despite degree-sort gathering
+    # ~19% fewer rows — the access pattern matters, not just volume
+    a, _ = reorder_rcm(a)
+    order_name = "rcm"
+    n, nnz = a.shape[0], a.nnz
+
+    rng = np.random.default_rng(0)
+    feat_np = rng.standard_normal((n, d)).astype(np.float32)
+    feat = jnp.asarray(feat_np)
+
+    space = headline_space(d)
     tuned = tune_spmm(
         a.indptr, a.indices, n, feat_np, space=space,
         hash_tag=f"bench-rmat{scale}-deg{avg_deg}-{order_name}",
